@@ -1,0 +1,32 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh so sharded code
+paths (data-parallel NN, DB-sharded search) are exercised deterministically
+without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def tmp_fasta(tmp_path):
+    """Write a small deterministic FASTA file and return its path."""
+
+    def _write(records, name="input.fna"):
+        path = tmp_path / name
+        with open(path, "w") as f:
+            for header, seq in records:
+                f.write(f">{header}\n{seq}\n")
+        return path
+
+    return _write
