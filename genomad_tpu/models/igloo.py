@@ -1,0 +1,306 @@
+"""IGLOO sequence classifier in pure functional JAX.
+
+Re-design of the reference Keras model (genomad/neural_network/model.py:14-45,
+genomad/neural_network/igloo.py:30-217) for TPU:
+
+Architecture (inference graph, per 6,000 bp window -> 5,997 tokens):
+
+    tokens (B, 5997) int32 in [0, 256]
+      |  one-hot(257) conv, causal, width 6      <- computed as 6 embedding
+      v                                             gathers + shifted adds
+    h1 (B, 5997, 128) -- LeakyReLU(0.1)
+      |-- IGLOO kernel A ------------------------.
+      v                                          |
+    conv (causal, width 6) + LeakyReLU x2        |
+      v                                          |
+    h3 (B, 5997, 128)                            |
+      |-- IGLOO kernel B ------------------------+
+      v                                          v
+           concat (B, 256) -> Dense 512 + BN + ReLU        (encoder)
+           -> Dense 512 + BN + ReLU -> Dense 3 -> softmax  (classifier head)
+
+IGLOO kernel (transformer_style, pooling 8 — igloo.py:190-217): 2,100 random
+4-position patches are gathered from the (L, C) feature map, reduced to one
+logit per patch through trainable weights, and the patch-logit vector attends
+(softmax over 749 positions) over a max-pooled value projection of the input.
+
+TPU-first notes versus the reference graph:
+  * The reference materializes a one-hot (B, 5997, 257) tensor and runs a
+    dense conv over it. Because the input is one-hot, that conv is exactly a
+    sum of 6 shifted embedding lookups; we never materialize the one-hot and
+    do 257x fewer MACs in stack 1.
+  * w_mult (P,4,C) and w_summer (4C,) are algebraically folded into a single
+    per-patch reduction tensor at load time (prepare_params), halving the
+    elementwise work of the patch reduction.
+  * All matmuls run on the MXU via lax.conv / jnp.einsum with
+    preferred_element_type=float32; the compute dtype is configurable
+    (bfloat16 for speed, float32 for bit-parity checks).
+
+The reference model has nb_stacks=3 but — per the actual Keras graph builder
+(igloo.py:63-83) — that creates only TWO IGLOO kernels: one after the first
+conv and one after two further convs; the two (B, 128) outputs concatenate to
+(B, 256).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Architecture constants (genomad/neural_network/model.py:15-27)
+WINDOW_TOKENS = 5_997
+VOCAB = 257
+CHANNELS = 128
+CONV_KERNEL = 6
+N_PATCHES = 2_100
+PATCH_SIZE = 4
+POOL = 8
+POOLED_LEN = WINDOW_TOKENS // POOL  # 749 (keras MaxPool1D 'valid')
+ENC_DIM = 512
+N_CLASSES = 3
+BN_EPS = 1e-3  # keras BatchNormalization default epsilon
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _glorot(rng: np.random.Generator, shape) -> np.ndarray:
+    fan_in, fan_out = shape[0], shape[-1]
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return rng.uniform(-limit, limit, size=shape).astype(np.float32)
+
+
+def random_patches(rng: np.random.Generator, vector_size: int = WINDOW_TOKENS, n_patches: int = N_PATCHES, patch_size: int = PATCH_SIZE) -> np.ndarray:
+    """Sorted random position patches, matching the distribution of the
+    reference generator at init time (igloo.py:280-296, build_backbone=False).
+
+    In production the patch tensor comes from the trained checkpoint
+    (nn_classification.py:309-310); this generator only provides
+    deterministic placeholders for tests/benchmarks.
+    """
+    out = np.empty((n_patches, patch_size), dtype=np.int32)
+    for i in range(n_patches):
+        out[i] = np.sort(rng.choice(vector_size, size=patch_size, replace=False))
+    return out
+
+
+def init_params(seed: int = 0) -> Params:
+    """Deterministic full parameter pytree (synthetic weights).
+
+    Used for benchmarks and tests when the trained checkpoint
+    (nn_classifier.h5, absent from the source mirror) is unavailable.
+    """
+    rng = np.random.default_rng(seed)
+
+    def igloo_kernel_params():
+        return {
+            "patches": random_patches(rng),
+            "w_mult": _glorot(rng, (N_PATCHES, PATCH_SIZE, CHANNELS)),
+            "w_summer": _glorot(rng, (PATCH_SIZE * CHANNELS, 1))[:, 0],
+            "w_bias": _glorot(rng, (1, N_PATCHES))[0],
+            "w_qk": _glorot(rng, (N_PATCHES, POOLED_LEN)),
+            "w_v": _glorot(rng, (CHANNELS, CHANNELS)),
+        }
+
+    def bn_params(dim):
+        return {
+            "gamma": np.ones(dim, np.float32),
+            "beta": np.zeros(dim, np.float32),
+            "mean": np.zeros(dim, np.float32),
+            "var": np.ones(dim, np.float32),
+        }
+
+    params = {
+        "conv1": {"kernel": _glorot(rng, (CONV_KERNEL, VOCAB, CHANNELS)), "bias": np.zeros(CHANNELS, np.float32)},
+        "igloo1": igloo_kernel_params(),
+        "conv2": {"kernel": _glorot(rng, (CONV_KERNEL, CHANNELS, CHANNELS)), "bias": np.zeros(CHANNELS, np.float32)},
+        "conv3": {"kernel": _glorot(rng, (CONV_KERNEL, CHANNELS, CHANNELS)), "bias": np.zeros(CHANNELS, np.float32)},
+        "igloo2": igloo_kernel_params(),
+        "enc_dense": {"kernel": _glorot(rng, (2 * CHANNELS, ENC_DIM)), "bias": np.zeros(ENC_DIM, np.float32)},
+        "enc_bn": bn_params(ENC_DIM),
+        "head_dense": {"kernel": _glorot(rng, (ENC_DIM, ENC_DIM)), "bias": np.zeros(ENC_DIM, np.float32)},
+        "head_bn": bn_params(ENC_DIM),
+        "out_dense": {"kernel": _glorot(rng, (ENC_DIM, N_CLASSES)), "bias": np.zeros(N_CLASSES, np.float32)},
+    }
+    return params
+
+
+def prepare_params(params: Params, compute_dtype=jnp.bfloat16) -> Params:
+    """Fold inference-time constants and cast for the TPU forward pass.
+
+    * w_mult (P,S,C) x w_summer (S*C,) -> single reduction tensor w_patch.
+    * Batch-norm folded to scale/shift.
+    * Weights cast to the compute dtype (patches stay int32).
+    """
+
+    def fold_igloo(p):
+        patch_size, channels = p["w_mult"].shape[1], p["w_mult"].shape[2]
+        w_summer = np.asarray(p["w_summer"]).reshape(patch_size, channels)
+        return {
+            "patches": jnp.asarray(p["patches"], jnp.int32),
+            "w_patch": jnp.asarray(p["w_mult"] * w_summer[None, :, :], compute_dtype),
+            "w_bias": jnp.asarray(p["w_bias"], compute_dtype),
+            "w_qk": jnp.asarray(p["w_qk"], compute_dtype),
+            "w_v": jnp.asarray(p["w_v"], compute_dtype),
+        }
+
+    def fold_bn(bn):
+        scale = bn["gamma"] / np.sqrt(np.asarray(bn["var"]) + BN_EPS)
+        shift = bn["beta"] - np.asarray(bn["mean"]) * scale
+        return {"scale": jnp.asarray(scale, compute_dtype), "shift": jnp.asarray(shift, compute_dtype)}
+
+    def cast(d):
+        return {k: jnp.asarray(v, compute_dtype) for k, v in d.items()}
+
+    return {
+        "conv1": cast(params["conv1"]),
+        "igloo1": fold_igloo(params["igloo1"]),
+        "conv2": cast(params["conv2"]),
+        "conv3": cast(params["conv3"]),
+        "igloo2": fold_igloo(params["igloo2"]),
+        "enc_dense": cast(params["enc_dense"]),
+        "enc_bn": fold_bn(params["enc_bn"]),
+        "head_dense": cast(params["head_dense"]),
+        "head_bn": fold_bn(params["head_bn"]),
+        "out_dense": cast(params["out_dense"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def _leaky_relu(x):
+    return jax.nn.leaky_relu(x, negative_slope=0.1)
+
+
+def _causal_embed_conv(tokens: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """Width-K causal conv over one-hot input, computed as K shifted
+    embedding lookups (the one-hot tensor is never materialized).
+
+    out[:, t] = bias + sum_k kernel[k][tokens[:, t - (K-1) + k]]
+    with out-of-range positions contributing zero (causal zero padding).
+    """
+    k_size = kernel.shape[0]
+    length = tokens.shape[1]
+    out = jnp.zeros((tokens.shape[0], length, kernel.shape[2]), kernel.dtype)
+    for k in range(k_size):
+        shift = k_size - 1 - k  # input is `shift` positions behind the output
+        contrib = jnp.take(kernel[k], tokens[:, : length - shift], axis=0)
+        out = out.at[:, shift:, :].add(contrib)
+    return out + bias
+
+
+def _causal_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """Causal 1-D conv (B, L, C_in) -> (B, L, C_out) on the MXU."""
+    pad = kernel.shape[0] - 1
+    return (
+        jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(pad, 0)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=x.dtype,
+        )
+        + bias
+    )
+
+
+def _igloo_kernel(y: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """IGLOO patch-attention kernel (reference: igloo.py:190-217).
+
+    y: (B, L, C) feature map -> (B, C) pooled representation.
+    """
+    # Patch gather + reduction: (B, P, S, C) * (P, S, C) summed -> (B, P)
+    gathered = jnp.take(y, p["patches"], axis=1)  # (B, P, S, C)
+    mpi = jnp.einsum("bpsc,psc->bp", gathered, p["w_patch"], preferred_element_type=jnp.float32)
+    mpi = mpi.astype(y.dtype) + p["w_bias"]
+    # Value projection + max-pool by 8 ('valid': trailing remainder dropped)
+    y_proj = jnp.einsum("blc,cd->bld", y, p["w_v"], preferred_element_type=jnp.float32).astype(y.dtype)
+    pooled_len = y.shape[1] // POOL
+    pooled = jnp.max(
+        y_proj[:, : pooled_len * POOL].reshape(y.shape[0], pooled_len, POOL, -1), axis=2
+    )
+    # Attention of the patch-logit vector over pooled positions
+    alpha = jax.nn.softmax(
+        jnp.einsum("bp,pl->bl", mpi, p["w_qk"], preferred_element_type=jnp.float32), axis=-1
+    ).astype(y.dtype)
+    return jnp.einsum("bl,blc->bc", alpha, pooled, preferred_element_type=jnp.float32).astype(y.dtype)
+
+
+def _bn(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    return x * p["scale"] + p["shift"]
+
+
+def apply(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Inference forward pass: (B, 5997) int tokens -> (B, 3) class probs.
+
+    ``params`` must come from :func:`prepare_params`.
+    """
+    p = params
+    h1 = _leaky_relu(_causal_embed_conv(tokens, p["conv1"]["kernel"], p["conv1"]["bias"]))
+    a = _igloo_kernel(h1, p["igloo1"])
+    h2 = _leaky_relu(_causal_conv(h1, p["conv2"]["kernel"], p["conv2"]["bias"]))
+    h3 = _leaky_relu(_causal_conv(h2, p["conv3"]["kernel"], p["conv3"]["bias"]))
+    b = _igloo_kernel(h3, p["igloo2"])
+    feat = jnp.concatenate([a, b], axis=-1)
+    enc = jax.nn.relu(_bn(feat @ p["enc_dense"]["kernel"] + p["enc_dense"]["bias"], p["enc_bn"]))
+    hid = jax.nn.relu(_bn(enc @ p["head_dense"]["kernel"] + p["head_dense"]["bias"], p["head_bn"]))
+    logits = (hid @ p["out_dense"]["kernel"] + p["out_dense"]["bias"]).astype(jnp.float32)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _jit_apply(prepared: Params, tokens: jnp.ndarray, compute_dtype=jnp.bfloat16):
+    return apply(prepared, tokens)
+
+
+def make_forward(params: Params, compute_dtype=jnp.bfloat16):
+    """Return a jitted (tokens -> probs) closure with prepared params."""
+    prepared = prepare_params(params, compute_dtype)
+
+    def forward(tokens: jnp.ndarray) -> jnp.ndarray:
+        return _jit_apply(prepared, tokens, compute_dtype=compute_dtype)
+
+    return forward
+
+
+# ---------------------------------------------------------------------------
+# Training-mode forward (dropout active) — used by fine-tuning utilities.
+# ---------------------------------------------------------------------------
+
+
+def apply_train(params: Params, tokens: jnp.ndarray, rng: jax.Array, dropout_rate: float = 0.2) -> jnp.ndarray:
+    """Forward pass with dropout active (SpatialDropout1D on conv stacks,
+    plain Dropout on the classifier head — reference igloo.py:49-53,
+    model.py:43). Returns class probabilities."""
+    p = params
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+
+    def spatial_dropout(x, key):
+        # Drop whole channels (SpatialDropout1D semantics)
+        keep = jax.random.bernoulli(key, 1 - dropout_rate, (x.shape[0], 1, x.shape[2]))
+        return jnp.where(keep, x / (1 - dropout_rate), 0)
+
+    h1 = spatial_dropout(_leaky_relu(_causal_embed_conv(tokens, p["conv1"]["kernel"], p["conv1"]["bias"])), k1)
+    a = _igloo_kernel(h1, p["igloo1"])
+    h2 = spatial_dropout(_leaky_relu(_causal_conv(h1, p["conv2"]["kernel"], p["conv2"]["bias"])), k2)
+    h3 = spatial_dropout(_leaky_relu(_causal_conv(h2, p["conv3"]["kernel"], p["conv3"]["bias"])), k3)
+    b = _igloo_kernel(h3, p["igloo2"])
+    feat = jnp.concatenate([a, b], axis=-1)
+    enc = jax.nn.relu(_bn(feat @ p["enc_dense"]["kernel"] + p["enc_dense"]["bias"], p["enc_bn"]))
+    hid = jax.nn.relu(_bn(enc @ p["head_dense"]["kernel"] + p["head_dense"]["bias"], p["head_bn"]))
+    keep = jax.random.bernoulli(k4, 1 - dropout_rate, hid.shape)
+    hid = jnp.where(keep, hid / (1 - dropout_rate), 0)
+    logits = (hid @ p["out_dense"]["kernel"] + p["out_dense"]["bias"]).astype(jnp.float32)
+    return jax.nn.softmax(logits, axis=-1)
