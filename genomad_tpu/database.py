@@ -1,0 +1,117 @@
+"""geNomad database directory accessor.
+
+Parses the downloaded ``genomad_db/`` directory (reference analog:
+genomad/database.py:8-135): marker metadata (specificity classes, SPM values,
+hallmark/USCG/CONJscan/AMR annotations), the ICTV taxdump, and the protein
+profile databases consumed by the TPU search engine
+(genomad_tpu.ops.protein_search).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from genomad_tpu import utils
+
+
+class Database:
+    def __init__(self, database_directory: Path) -> None:
+        self._directory = Path(database_directory)
+        version_file = self._directory / "version.txt"
+        if version_file.exists():
+            self._version = float(version_file.read_text().strip())
+        else:
+            self._version = 0.0
+        self._marker_features = None
+        self._marker_annotation = None
+        self._taxdb = None
+
+    @property
+    def directory(self) -> Path:
+        return self._directory
+
+    @property
+    def version(self) -> float:
+        return self._version
+
+    @property
+    def mmseqs2_db(self) -> Path:
+        return self._directory / "genomad_db"
+
+    @property
+    def mmseqs2_minimal_db(self) -> Path:
+        return self._directory / "genomad_mini_db"
+
+    @property
+    def mmseqs2_integrase_db(self) -> Path:
+        return self._directory / "genomad_integrase_db"
+
+    @property
+    def nodes_dmp(self) -> Path:
+        return self._directory / "nodes.dmp"
+
+    @property
+    def names_dmp(self) -> Path:
+        return self._directory / "names.dmp"
+
+    @property
+    def metadata_file(self) -> Path:
+        return self._directory / "genomad_marker_metadata.tsv"
+
+    def get_marker_annotation(self) -> dict:
+        """marker -> (uscg, plasmid_hallmark, virus_hallmark, conjscan, amr,
+        accessions, description) — reference: database.py:42-79.
+
+        Metadata columns (0-indexed): 0 marker, ..., -9 uscg,
+        -8 plasmid_hallmark, -7 virus_hallmark, -6 conjscan, -5 amr,
+        -4 accession, -3 description, -2, -1.
+        """
+        if self._marker_annotation is None:
+            annotation = {}
+            for line in utils.read_file(self.metadata_file, skip_header=True):
+                fields = line.strip("\n").split("\t")
+                marker = fields[0]
+                uscg, plasmid_hallmark, virus_hallmark, conjscan, amr, accession, description = fields[-9:-2]
+                annotation[marker] = (
+                    int(uscg != "NA"),
+                    int(plasmid_hallmark),
+                    int(virus_hallmark),
+                    conjscan,
+                    amr,
+                    accession,
+                    description,
+                )
+            self._marker_annotation = annotation
+        return self._marker_annotation
+
+    def get_marker_features(self) -> dict:
+        """marker -> (specificity_class, spm_c, spm_p, spm_v, gv_marker,
+        uscg, plasmid_hallmark, virus_hallmark) — reference: database.py:81-127.
+
+        Metadata columns: 0 marker, 2 specificity_class, 4 spm_c, 5 spm_p,
+        6 spm_v, 7 gv_marker, -9 uscg, -8 plasmid_hallmark, -7 virus_hallmark.
+        """
+        if self._marker_features is None:
+            features = {}
+            for line in utils.read_file(self.metadata_file, skip_header=True):
+                fields = line.strip("\n").split("\t")
+                features[fields[0]] = (
+                    fields[2],
+                    float(fields[4]),
+                    float(fields[5]),
+                    float(fields[6]),
+                    int(fields[7]),
+                    int(fields[-9] != "NA"),
+                    int(fields[-8]),
+                    int(fields[-7]),
+                )
+            self._marker_features = features
+        return self._marker_features
+
+    def get_taxdb(self):
+        """ICTV taxonomy database (reference: database.py:129-135, taxopy)."""
+        if self._taxdb is None:
+            from genomad_tpu import taxonomy
+
+            self._taxdb = taxonomy.TaxDb(self.nodes_dmp, self.names_dmp)
+        return self._taxdb
