@@ -1,0 +1,253 @@
+"""Packed protein-profile database for the TPU search engine.
+
+The reference delegates profile search to MMseqs2 over its own profile DB
+format (genomad/mmseqs2.py:53-196, DB layout genomad/database.py:18-29).
+Here profiles are position-specific scoring matrices (PSSMs) stored as
+packed arrays, bucketed by length so the device-side search operates on
+dense (n_profiles, L, 20) tensors:
+
+  * names: (P,) marker names ("GENOMAD.xxxxx.xx")
+  * lengths: (P,) int32
+  * taxids: (P,) int32 (0 = no taxonomy)
+  * pssm: float32 scores concatenated along positions, (total_positions, 20)
+  * offsets: (P+1,) into pssm
+
+Build paths:
+  * from_arrays / save / load — native npz format
+  * synthetic(seed) — deterministic random DB for tests/benchmarks
+  * consensus k-mer index — the prefilter's inverted index, built with a
+    counting sort over encoded k-mers (no Python dicts on the hot path)
+
+Amino-acid alphabet: the 20 standard residues in the order below; unknown
+residues map to index 20 and score 0 against every profile column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+ALPHABET = "ACDEFGHIKLMNPQRSTVWY"
+AA_INDEX = np.full(256, 20, dtype=np.int8)
+for _i, _aa in enumerate(ALPHABET):
+    AA_INDEX[ord(_aa)] = _i
+    AA_INDEX[ord(_aa.lower())] = _i
+N_AA = 20
+KMER_K = 5
+
+
+def encode_protein(seq: str | bytes) -> np.ndarray:
+    """Protein string -> int8 residue indices (20 = unknown/X)."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    return AA_INDEX[np.frombuffer(seq, dtype=np.uint8)]
+
+
+def encode_kmers(residues: np.ndarray, k: int = KMER_K) -> np.ndarray:
+    """Valid k-mer codes (base-20 packing) at each position; -1 where the
+    window contains an unknown residue."""
+    n = len(residues) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(residues, k)
+    valid = (windows < N_AA).all(axis=1)
+    weights = N_AA ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    codes = windows.astype(np.int64) @ weights
+    return np.where(valid, codes, -1)
+
+
+@dataclass
+class ProfileDB:
+    names: np.ndarray  # (P,) unicode
+    lengths: np.ndarray  # (P,) int32
+    taxids: np.ndarray  # (P,) int32
+    pssm: np.ndarray  # (total, 20) float32
+    offsets: np.ndarray  # (P+1,) int64
+
+    def __post_init__(self):
+        self._kmer_index = None
+        self._buckets = None
+
+    @property
+    def n_profiles(self) -> int:
+        return len(self.names)
+
+    @property
+    def total_positions(self) -> int:
+        return int(self.offsets[-1])
+
+    def profile(self, i: int) -> np.ndarray:
+        return self.pssm[self.offsets[i] : self.offsets[i + 1]]
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: Path) -> None:
+        np.savez_compressed(
+            path,
+            names=self.names,
+            lengths=self.lengths,
+            taxids=self.taxids,
+            pssm=self.pssm,
+            offsets=self.offsets,
+        )
+
+    @classmethod
+    def load(cls, path: Path) -> "ProfileDB":
+        with np.load(path, allow_pickle=False) as npz:
+            return cls(
+                names=npz["names"],
+                lengths=npz["lengths"].astype(np.int32),
+                taxids=npz["taxids"].astype(np.int32),
+                pssm=npz["pssm"].astype(np.float32),
+                offsets=npz["offsets"].astype(np.int64),
+            )
+
+    @classmethod
+    def from_profiles(cls, names, pssms, taxids=None) -> "ProfileDB":
+        lengths = np.array([len(p) for p in pssms], dtype=np.int32)
+        offsets = np.zeros(len(pssms) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        pssm = (
+            np.concatenate([np.asarray(p, np.float32) for p in pssms])
+            if len(pssms)
+            else np.zeros((0, N_AA), np.float32)
+        )
+        if taxids is None:
+            taxids = np.zeros(len(pssms), dtype=np.int32)
+        return cls(np.asarray(names), lengths, np.asarray(taxids, np.int32), pssm, offsets)
+
+    @classmethod
+    def synthetic(cls, seed: int = 0, n_profiles: int = 64, min_len: int = 40, max_len: int = 300) -> "ProfileDB":
+        """Deterministic random DB: each profile strongly prefers one random
+        'consensus' sequence (positive score on the consensus residue,
+        negative elsewhere) — a realistic PSSM shape for testing."""
+        rng = np.random.default_rng(seed)
+        names, pssms = [], []
+        taxids = rng.integers(0, 1000, n_profiles).astype(np.int32)
+        for i in range(n_profiles):
+            L = int(rng.integers(min_len, max_len + 1))
+            consensus = rng.integers(0, N_AA, L)
+            pssm = rng.normal(-2.0, 0.7, (L, N_AA)).astype(np.float32)
+            pssm[np.arange(L), consensus] += rng.uniform(5.0, 9.0, L).astype(np.float32)
+            names.append(f"GENOMAD.{i:06d}.XX")
+            pssms.append(pssm)
+        return cls.from_profiles(names, pssms, taxids)
+
+    def consensus(self, i: int) -> np.ndarray:
+        """Argmax residue per column of profile i."""
+        return self.profile(i).argmax(1).astype(np.int8)
+
+    # -- k-mer inverted index (prefilter) -----------------------------------
+
+    def kmer_index(self, top_residues: int = 1):
+        """Inverted index: k-mer code -> (profile, position) entries.
+
+        DB-side sensitivity analog of MMseqs2's query-side similar-k-mer
+        lists: with top_residues > 1, each profile column contributes its
+        top-N residues and every combination over the k-window is indexed
+        (N=1: consensus k-mers only; N=2 indexes up to 2^k = 32 k-mers per
+        position). Cached per (top_residues).
+        """
+        if self._kmer_index is not None and self._kmer_index[0] == top_residues:
+            return self._kmer_index[1]
+        entries_kmers = []
+        entries_profiles = []
+        entries_positions = []
+        for i in range(self.n_profiles):
+            pssm = self.profile(i)
+            L = len(pssm)
+            if L < KMER_K:
+                continue
+            if top_residues == 1:
+                residues = pssm.argmax(1).astype(np.int8)
+                codes = encode_kmers(residues)
+                pos = np.arange(len(codes))
+                keep = codes >= 0
+                entries_kmers.append(codes[keep])
+                entries_profiles.append(np.full(keep.sum(), i, np.int32))
+                entries_positions.append(pos[keep].astype(np.int32))
+            else:
+                top = np.argsort(pssm, axis=1)[:, -top_residues:]  # (L, N)
+                n_pos = L - KMER_K + 1
+                # combinations over the k window: N^k codes per position
+                combo_codes = np.zeros((n_pos, 1), dtype=np.int64)
+                for off in range(KMER_K):
+                    col = top[off : off + n_pos]  # (n_pos, N)
+                    combo_codes = (
+                        combo_codes[:, :, None] * N_AA + col[:, None, :]
+                    ).reshape(n_pos, -1)
+                pos = np.repeat(np.arange(n_pos, dtype=np.int32), combo_codes.shape[1])
+                codes = combo_codes.reshape(-1)
+                entries_kmers.append(codes)
+                entries_profiles.append(np.full(len(codes), i, np.int32))
+                entries_positions.append(pos)
+        if entries_kmers:
+            kmers = np.concatenate(entries_kmers)
+            profiles = np.concatenate(entries_profiles)
+            positions = np.concatenate(entries_positions)
+        else:
+            kmers = np.zeros(0, np.int64)
+            profiles = np.zeros(0, np.int32)
+            positions = np.zeros(0, np.int32)
+        order = np.argsort(kmers, kind="stable")
+        index = _KmerIndex(
+            sorted_kmers=kmers[order], profiles=profiles[order], positions=positions[order]
+        )
+        self._kmer_index = (top_residues, index)
+        return index
+
+    # -- length bucketing (device layout) -----------------------------------
+
+    def buckets(self, boundaries=(64, 128, 256, 512, 1024, 4096)):
+        """Group profiles into padded dense tensors by length class.
+
+        Returns a list of dicts: {profile_ids (n,), padded (n, L, 20),
+        lengths (n,)} with pad columns scored 0 (neutral).
+        """
+        if self._buckets is not None:
+            return self._buckets
+        out = []
+        for b_i, bound in enumerate(boundaries):
+            lo = 0 if b_i == 0 else boundaries[b_i - 1]
+            ids = np.where((self.lengths > lo) & (self.lengths <= bound))[0]
+            if not len(ids):
+                continue
+            padded = np.zeros((len(ids), bound, N_AA), np.float32)
+            for j, pid in enumerate(ids):
+                padded[j, : self.lengths[pid]] = self.profile(pid)
+            out.append(
+                {
+                    "profile_ids": ids.astype(np.int32),
+                    "padded": padded,
+                    "lengths": self.lengths[ids].astype(np.int32),
+                }
+            )
+        self._buckets = out
+        return out
+
+    def shard(self, n_shards: int, shard_index: int) -> "ProfileDB":
+        """Contiguous shard of the DB (device-side DB parallelism)."""
+        ids = np.arange(self.n_profiles)[shard_index::n_shards]
+        return ProfileDB.from_profiles(
+            self.names[ids],
+            [self.profile(i) for i in ids],
+            self.taxids[ids],
+        )
+
+
+@dataclass
+class _KmerIndex:
+    sorted_kmers: np.ndarray  # (E,) int64, ascending
+    profiles: np.ndarray  # (E,) int32
+    positions: np.ndarray  # (E,) int32
+
+    def lookup(self, codes: np.ndarray):
+        """For each query k-mer code, the range of matching entries.
+
+        Returns (starts, ends) arrays aligned with ``codes``.
+        """
+        starts = np.searchsorted(self.sorted_kmers, codes, side="left")
+        ends = np.searchsorted(self.sorted_kmers, codes, side="right")
+        return starts, ends

@@ -1,0 +1,377 @@
+"""TPU protein-vs-profile search engine.
+
+Replaces the reference's 8-command MMseqs2 subprocess chain
+(genomad/mmseqs2.py:53-196) with a two-stage native pipeline:
+
+  1. **Prefilter** (host, vectorized numpy): query 5-mers are looked up in
+     the DB's consensus-k-mer inverted index; per-(profile, diagonal) hits
+     are scored by maximal ungapped diagonal extension (cumsum/cummin max-
+     subarray, no scalar loops) and gated at ``min_ungapped_score`` (default
+     25, the reference's ``--min-ungapped-score``; k=5 as ``-k 5``).
+     DB-side top-N residue expansion is the sensitivity analog of MMseqs2's
+     query-side similar-k-mer lists (``-s``).
+
+  2. **Alignment** (device, JAX): batched affine-gap local Smith-Waterman of
+     query residues against profile PSSMs. The kernel is a lax.scan over
+     query rows; the horizontal gap state is computed with a prefix-max
+     (cummax) over target columns — valid because gap_open >= gap_extend
+     makes close-then-reopen never optimal — so each row is pure vector
+     work over (batch, target) with no sequential inner loop.
+     A forward pass yields score + end cell; a reverse pass on accepted
+     pairs yields the start cell, giving query coverage for the reference's
+     align-mode-2 filter (``--cov-mode 2 -c 0.2``).
+
+  3. **Best hit**: highest bitscore per query with deterministic
+     tie-breaking (reference: filterdb --extract-lines 1 after swap,
+     mmseqs2.py:151-158); E-values from Karlin-Altschul statistics.
+
+Sharding: the profile DB shards across the 'db' mesh axis; per-shard best
+hits merge with an allreduce-max keyed on (bitscore, -profile_id) — the
+native replacement for ``--splits`` (mmseqs2.py:83-95).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomad_tpu.ops import profiledb
+from genomad_tpu.ops.profiledb import KMER_K, N_AA, ProfileDB, encode_kmers
+
+# Gap costs (MMseqs2 defaults --gap-open 11 --gap-extend 1; a gap of length
+# g costs open + (g-1) * extend).
+GAP_OPEN = 11.0
+GAP_EXTEND = 1.0
+
+# Karlin-Altschul statistics (gapped BLOSUM62 regime).
+KA_LAMBDA = 0.267
+KA_K = 0.041
+LN2 = float(np.log(2.0))
+
+
+# ---------------------------------------------------------------------------
+# Smith-Waterman kernel
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _sw_forward(queries: jnp.ndarray, profiles: jnp.ndarray):
+    """Batched local SW of residue sequences against PSSMs.
+
+    queries: (B, Lq) int32 residue indices (20 = pad/unknown, scores 0).
+    profiles: (B, Lp, 21) float32 PSSMs (column 20 and padded rows are 0).
+
+    Returns (best (B,), end_i (B,), end_j (B,)): best score and its cell
+    (query row, target column), 0-indexed.
+    """
+    B, Lq = queries.shape
+    Lp = profiles.shape[1]
+    col = jnp.arange(Lp, dtype=jnp.float32)
+    profiles_t = jnp.swapaxes(profiles, 1, 2)  # (B, 21, Lp)
+
+    def row_step(carry, inp):
+        h_prev, f_prev, best, best_i, best_j = carry
+        q_i, i = inp
+        s_row = jnp.take_along_axis(profiles_t, q_i[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+        f = jnp.maximum(h_prev - GAP_OPEN, f_prev - GAP_EXTEND)
+        diag = jnp.pad(h_prev[:, :-1], ((0, 0), (1, 0)))
+        h0 = jnp.maximum(jnp.maximum(diag + s_row, f), 0.0)
+        # horizontal gaps: E_j = max_{k<j}(h0_k - open + k*ext) - (j-1)*ext
+        t = h0 - GAP_OPEN + GAP_EXTEND * col
+        m = jax.lax.cummax(t, axis=1)
+        m = jnp.pad(m[:, :-1], ((0, 0), (1, 0)), constant_values=-jnp.inf)
+        e = m - GAP_EXTEND * (col - 1.0)
+        h = jnp.maximum(h0, e)
+        row_best = jnp.max(h, axis=1)
+        row_arg = jnp.argmax(h, axis=1)
+        improved = row_best > best
+        best = jnp.where(improved, row_best, best)
+        best_i = jnp.where(improved, i, best_i)
+        best_j = jnp.where(improved, row_arg, best_j)
+        return (h, f, best, best_i, best_j), None
+
+    init = (
+        jnp.zeros((B, Lp), jnp.float32),
+        jnp.full((B, Lp), -jnp.inf, jnp.float32),
+        jnp.zeros(B, jnp.float32),
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.int32),
+    )
+    rows = (jnp.swapaxes(queries, 0, 1), jnp.arange(Lq, dtype=jnp.int32))
+    (h, f, best, best_i, best_j), _ = jax.lax.scan(row_step, init, rows)
+    return best, best_i, best_j
+
+
+def sw_align(queries: np.ndarray, profiles: np.ndarray, compute_starts: bool = False):
+    """Forward (and optionally reverse) SW over a padded batch.
+
+    queries: (B, Lq) int residue indices padded with 20.
+    profiles: (B, Lp, 20) float PSSMs padded with zero rows.
+
+    Returns dict with score, end_i, end_j (+ start_i, start_j when
+    compute_starts): inclusive 0-indexed alignment boundaries.
+    """
+    queries = np.asarray(queries, np.int32)
+    profiles = np.asarray(profiles, np.float32)
+    prof21 = np.concatenate(
+        [profiles, np.zeros((*profiles.shape[:2], 1), np.float32)], axis=2
+    )
+    best, end_i, end_j = (np.asarray(x) for x in _sw_forward(jnp.asarray(queries), jnp.asarray(prof21)))
+    out = {"score": best, "end_i": end_i, "end_j": end_j}
+    if compute_starts:
+        B, Lq = queries.shape
+        Lp = profiles.shape[1]
+        rev_q = np.full_like(queries, 20)
+        rev_p = np.zeros_like(prof21)
+        for b in range(B):
+            ie, je = end_i[b], end_j[b]
+            rev_q[b, : ie + 1] = queries[b, : ie + 1][::-1]
+            rev_p[b, : je + 1] = prof21[b, : je + 1][::-1]
+        rbest, rei, rej = (np.asarray(x) for x in _sw_forward(jnp.asarray(rev_q), jnp.asarray(rev_p)))
+        out["start_i"] = end_i - rei
+        out["start_j"] = end_j - rej
+        out["score_rev"] = rbest  # == score (sanity invariant)
+    return out
+
+
+def bitscore(raw_score) -> np.ndarray:
+    return (KA_LAMBDA * np.asarray(raw_score) - np.log(KA_K)) / LN2
+
+
+def evalue(raw_score, query_length, db_positions) -> np.ndarray:
+    return query_length * db_positions * np.power(2.0, -bitscore(raw_score))
+
+
+# ---------------------------------------------------------------------------
+# Prefilter
+# ---------------------------------------------------------------------------
+
+
+def _max_subarray(scores: np.ndarray) -> np.ndarray:
+    """Row-wise maximal subarray sum (ungapped diagonal score), vectorized:
+    max_t(prefix_t - min(0, min_{k<t} prefix_k))."""
+    prefix = np.cumsum(scores, axis=1)
+    min_before = np.minimum(np.minimum.accumulate(prefix, axis=1), 0.0)
+    shifted = np.concatenate(
+        [np.zeros((scores.shape[0], 1)), min_before[:, :-1]], axis=1
+    )
+    return np.max(prefix - shifted, axis=1)
+
+
+def prefilter_query(
+    residues: np.ndarray,
+    db: ProfileDB,
+    index,
+    min_ungapped_score: float = 25.0,
+    max_candidates: int = 4000,
+) -> np.ndarray:
+    """Candidate profile ids for one query (sorted, deduplicated).
+
+    Pipeline: query k-mers -> inverted-index ranges -> (profile, diagonal)
+    hits -> ungapped diagonal max-subarray score -> gate.
+    """
+    codes = encode_kmers(residues)
+    qpos_all = np.arange(len(codes), dtype=np.int64)
+    valid = codes >= 0
+    codes, qpos_all = codes[valid], qpos_all[valid]
+    if not len(codes):
+        return np.zeros(0, np.int32)
+    starts, ends = index.lookup(codes)
+    counts = ends - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int32)
+    # expand [starts, ends) ranges into flat entry indices
+    entry_idx = np.repeat(starts - np.concatenate([[0], np.cumsum(counts)[:-1]]), counts) + np.arange(total)
+    hit_qpos = np.repeat(qpos_all, counts)
+    hit_profile = index.profiles[entry_idx]
+    hit_ppos = index.positions[entry_idx].astype(np.int64)
+    Lq = len(residues)
+    diag = hit_ppos - hit_qpos + Lq  # >= 1
+    # unique (profile, diagonal) candidates
+    max_diag = Lq + int(db.lengths.max()) + 1
+    keys = hit_profile.astype(np.int64) * max_diag + diag
+    uniq_keys = np.unique(keys)
+    cand_profile = (uniq_keys // max_diag).astype(np.int32)
+    cand_diag = (uniq_keys % max_diag).astype(np.int64) - Lq
+    if len(uniq_keys) > max_candidates * 4:
+        # keep diagonals with the most k-mer hits to bound the gather below
+        key_counts = np.searchsorted(np.sort(keys), uniq_keys, side="right") - np.searchsorted(
+            np.sort(keys), uniq_keys, side="left"
+        )
+        top = np.argsort(key_counts)[::-1][: max_candidates * 4]
+        cand_profile, cand_diag = cand_profile[np.sort(top)], cand_diag[np.sort(top)]
+    # ungapped extension along each candidate diagonal
+    p_len = db.lengths[cand_profile].astype(np.int64)
+    q_start = np.maximum(0, -cand_diag)
+    p_start = np.maximum(0, cand_diag)
+    overlap = np.minimum(Lq - q_start, p_len - p_start)
+    C = len(cand_profile)
+    if C == 0:
+        return np.zeros(0, np.int32)
+    t = np.arange(Lq, dtype=np.int64)[None, :]
+    qi = q_start[:, None] + t  # (C, Lq)
+    pi = p_start[:, None] + t
+    in_range = t < overlap[:, None]
+    qi_c = np.minimum(qi, Lq - 1)
+    pi_c = np.minimum(pi, p_len[:, None] - 1)
+    flat_rows = db.offsets[cand_profile][:, None] + pi_c
+    res = residues[qi_c].astype(np.int64)
+    scores = np.where(
+        in_range & (res < N_AA), db.pssm[flat_rows, np.where(res < N_AA, res, 0)], 0.0
+    )
+    ungapped = _max_subarray(scores)
+    selected = np.unique(cand_profile[ungapped >= min_ungapped_score])
+    if len(selected) > max_candidates:
+        # keep the best-scoring profiles
+        best_per_profile = {}
+        for p, s in zip(cand_profile, ungapped):
+            if s >= min_ungapped_score and s > best_per_profile.get(p, -1):
+                best_per_profile[p] = s
+        selected = np.array(
+            sorted(best_per_profile, key=lambda p: -best_per_profile[p])[:max_candidates],
+            dtype=np.int32,
+        )
+        selected.sort()
+    return selected.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Search orchestration
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Hit:
+    query: str
+    target: str
+    evalue: float
+    bitscore: float
+    taxid: int
+    raw_score: float = 0.0
+    qcov: float = 0.0
+
+
+def search(
+    query_names,
+    query_seqs,
+    db: ProfileDB,
+    sensitivity: float = 4.2,
+    evalue_threshold: float = 1e-3,
+    min_qcov: float = 0.2,
+    min_ungapped_score: float = 25.0,
+    skip_prefilter: bool = False,
+    batch_size: int = 512,
+) -> dict:
+    """Full search: prefilter -> batched SW -> coverage filter -> best hit.
+
+    Returns {query_name: (target, evalue, bitscore, taxid)} — the contract
+    of MMseqs2.get_matches() (genomad/mmseqs2.py:198-212).
+
+    sensitivity maps to the DB-side k-mer expansion: < 6 uses consensus
+    k-mers only (top-1 residue), >= 6 indexes the top-2 residues per column
+    (the integrase search runs at 8.2 — reference cli.py:592-599).
+    """
+    residues_list = [profiledb.encode_protein(s) for s in query_seqs]
+    db_positions = max(db.total_positions, 1)
+
+    # ---- stage 1: candidate pairs ----
+    pairs_q, pairs_p = [], []
+    if skip_prefilter or db.n_profiles <= 64:
+        for qi in range(len(residues_list)):
+            pairs_q.extend([qi] * db.n_profiles)
+            pairs_p.extend(range(db.n_profiles))
+    else:
+        top_residues = 1 if sensitivity < 6 else 2
+        index = db.kmer_index(top_residues)
+        for qi, residues in enumerate(residues_list):
+            cands = prefilter_query(residues, db, index, min_ungapped_score)
+            pairs_q.extend([qi] * len(cands))
+            pairs_p.extend(cands.tolist())
+    if not pairs_q:
+        return {}
+    pairs_q = np.asarray(pairs_q, np.int64)
+    pairs_p = np.asarray(pairs_p, np.int64)
+
+    # ---- stage 2: batched SW over (query-bucket x profile-bucket) ----
+    q_lengths = np.array([len(r) for r in residues_list], np.int64)
+    best_hits: dict[int, tuple] = {}
+
+    def bucket_bound(lengths, bounds=(64, 128, 256, 512, 1024, 4096, 65536)):
+        return np.searchsorted(np.asarray(bounds), lengths, side="left")
+
+    qb = bucket_bound(q_lengths[pairs_q])
+    pb = bucket_bound(db.lengths[pairs_p])
+    bounds = (64, 128, 256, 512, 1024, 4096, 65536)
+    for qb_i in np.unique(qb):
+        for pb_i in np.unique(pb[qb == qb_i]):
+            sel = np.where((qb == qb_i) & (pb == pb_i))[0]
+            Lq = bounds[qb_i]
+            Lp = bounds[pb_i]
+            for chunk_start in range(0, len(sel), batch_size):
+                chunk = sel[chunk_start : chunk_start + batch_size]
+                B = len(chunk)
+                q_batch = np.full((B, Lq), 20, np.int32)
+                p_batch = np.zeros((B, Lp, N_AA), np.float32)
+                for bi, pair_i in enumerate(chunk):
+                    r = residues_list[pairs_q[pair_i]]
+                    q_batch[bi, : len(r)] = r
+                    prof = db.profile(pairs_p[pair_i])
+                    p_batch[bi, : len(prof)] = prof
+                fwd = sw_align(q_batch, p_batch, compute_starts=False)
+                # pass 1: E-value gate (align-mode 1 analog)
+                e_vals = evalue(fwd["score"], q_lengths[pairs_q[chunk]], db_positions)
+                accept = np.where(e_vals <= evalue_threshold)[0]
+                if not len(accept):
+                    continue
+                # pass 2: start positions -> query coverage (align-mode 2)
+                fwd2 = sw_align(
+                    q_batch[accept], p_batch[accept], compute_starts=True
+                )
+                qcov = (fwd2["end_i"] - fwd2["start_i"] + 1) / q_lengths[pairs_q[chunk[accept]]]
+                for k, bi in enumerate(accept):
+                    if qcov[k] < min_qcov:
+                        continue
+                    pair_i = chunk[bi]
+                    qi, pi = int(pairs_q[pair_i]), int(pairs_p[pair_i])
+                    score = float(fwd["score"][bi])
+                    bits = float(bitscore(score))
+                    ev = float(e_vals[bi])
+                    key = (bits, -pi)
+                    if qi not in best_hits or key > (best_hits[qi][0], -best_hits[qi][1]):
+                        best_hits[qi] = (bits, pi, ev, float(qcov[k]))
+
+    return {
+        query_names[qi]: (
+            str(db.names[pi]),
+            ev,
+            int(round(bits)),
+            int(db.taxids[pi]) if db.taxids[pi] > 0 else 1,
+        )
+        for qi, (bits, pi, ev, _) in best_hits.items()
+    }
+
+
+def search_sharded(query_names, query_seqs, db: ProfileDB, n_shards: int, **kwargs) -> dict:
+    """DB-sharded search: run each shard independently and merge best hits
+    by (bitscore, -profile name) — deterministic and shard-count-invariant.
+
+    On a pod this maps shards onto the 'db' mesh axis; the merge is an
+    allreduce-argmax over shards. The host-loop version here exercises the
+    identical merge semantics.
+    """
+    merged: dict[str, tuple] = {}
+    for shard_i in range(n_shards):
+        shard = db.shard(n_shards, shard_i)
+        hits = search(query_names, query_seqs, shard, **kwargs)
+        for q, (target, ev, bits, taxid) in hits.items():
+            cur = merged.get(q)
+            # higher bitscore wins; ties break on lexicographically smaller
+            # target name (deterministic, shard-count-invariant)
+            if cur is None or bits > cur[2] or (bits == cur[2] and target < cur[0]):
+                merged[q] = (target, ev, bits, taxid)
+    return merged

@@ -1,0 +1,164 @@
+"""Search-engine tests: SW kernel vs a full-DP numpy oracle, prefilter
+recall on planted matches, end-to-end best-hit retrieval, and shard
+invariance."""
+
+import numpy as np
+import pytest
+
+from genomad_tpu.ops import profiledb, protein_search
+from genomad_tpu.ops.profiledb import ALPHABET, N_AA, ProfileDB, encode_protein
+
+
+def oracle_sw(residues, pssm, gap_open=11.0, gap_extend=1.0):
+    """Full O(Lq*Lp) affine-gap local SW with explicit 3-state DP.
+
+    Gap of length g costs open + (g-1)*extend. Returns (score, end_i, end_j).
+    """
+    Lq, Lp = len(residues), len(pssm)
+    NEG = -1e9
+    H = np.zeros((Lq + 1, Lp + 1))
+    E = np.full((Lq + 1, Lp + 1), NEG)  # gap in query (consumes profile)
+    F = np.full((Lq + 1, Lp + 1), NEG)  # gap in profile (consumes query)
+    best, bi, bj = 0.0, 0, 0
+    for i in range(1, Lq + 1):
+        for j in range(1, Lp + 1):
+            E[i][j] = max(H[i][j - 1] - gap_open, E[i][j - 1] - gap_extend)
+            F[i][j] = max(H[i - 1][j] - gap_open, F[i - 1][j] - gap_extend)
+            s = pssm[j - 1][residues[i - 1]] if residues[i - 1] < N_AA else 0.0
+            H[i][j] = max(0.0, H[i - 1][j - 1] + s, E[i][j], F[i][j])
+            if H[i][j] > best:
+                best, bi, bj = H[i][j], i - 1, j - 1
+    return best, bi, bj
+
+
+def random_pssm(rng, L):
+    consensus = rng.integers(0, N_AA, L)
+    pssm = rng.normal(-1.5, 1.0, (L, N_AA)).astype(np.float32)
+    pssm[np.arange(L), consensus] += rng.uniform(4, 8, L)
+    return pssm, consensus
+
+
+def test_sw_matches_oracle(rng):
+    for trial in range(5):
+        Lq, Lp = int(rng.integers(10, 40)), int(rng.integers(10, 50))
+        pssm, consensus = random_pssm(rng, Lp)
+        residues = rng.integers(0, N_AA, Lq).astype(np.int8)
+        # plant a partial consensus match for a nontrivial alignment
+        m = min(Lq, Lp, 12)
+        residues[:m] = consensus[:m]
+        expected_score, ei, ej = oracle_sw(residues, pssm)
+        q = np.full((1, 64), 20, np.int32)
+        q[0, :Lq] = residues
+        p = np.zeros((1, 64, N_AA), np.float32)
+        p[0, :Lp] = pssm
+        out = protein_search.sw_align(q, p, compute_starts=True)
+        assert out["score"][0] == pytest.approx(expected_score, rel=1e-5), f"trial {trial}"
+        assert out["end_i"][0] == ei and out["end_j"][0] == ej
+        # reverse-pass invariant: same score from the end cell backwards
+        assert out["score_rev"][0] == pytest.approx(expected_score, rel=1e-5)
+
+
+def test_sw_with_gaps_matches_oracle(rng):
+    """Alignment requiring an internal gap."""
+    Lp = 30
+    pssm, consensus = random_pssm(rng, Lp)
+    # query = consensus with 3 positions deleted -> needs gap in query
+    residues = np.delete(consensus, [10, 11, 12]).astype(np.int8)
+    expected_score, ei, ej = oracle_sw(residues, pssm)
+    q = np.full((1, 32), 20, np.int32)
+    q[0, : len(residues)] = residues
+    p = np.zeros((1, 32, N_AA), np.float32)
+    p[0, :Lp] = pssm
+    out = protein_search.sw_align(q, p)
+    assert out["score"][0] == pytest.approx(expected_score, rel=1e-5)
+
+
+def test_sw_batch_padding_invariance(rng):
+    """Padding must not change scores."""
+    pssm, consensus = random_pssm(rng, 20)
+    residues = consensus[:15].astype(np.int8)
+    for Lq_pad, Lp_pad in ((16, 20), (64, 128)):
+        q = np.full((1, Lq_pad), 20, np.int32)
+        q[0, :15] = residues
+        p = np.zeros((1, Lp_pad, N_AA), np.float32)
+        p[0, :20] = pssm
+        out = protein_search.sw_align(q, p)
+        expected, _, _ = oracle_sw(residues, pssm)
+        assert out["score"][0] == pytest.approx(expected, rel=1e-5)
+
+
+def test_prefilter_finds_planted_match(rng):
+    db = ProfileDB.synthetic(seed=5, n_profiles=50, min_len=60, max_len=120)
+    index = db.kmer_index(1)
+    target = 17
+    residues = db.consensus(target)[:80]
+    cands = protein_search.prefilter_query(residues, db, index)
+    assert target in cands
+    # a random query should produce few/no candidates
+    noise = rng.integers(0, N_AA, 80).astype(np.int8)
+    noise_cands = protein_search.prefilter_query(noise, db, index)
+    assert len(noise_cands) < 5
+
+
+def test_search_end_to_end():
+    db = ProfileDB.synthetic(seed=11, n_profiles=120, min_len=60, max_len=200)
+    rng = np.random.default_rng(42)
+    query_names, query_seqs, expected = [], [], []
+    for qi, target in enumerate([3, 50, 99]):
+        cons = db.consensus(target)
+        seq = cons.copy()
+        # 10% random mutations
+        n_mut = len(seq) // 10
+        pos = rng.choice(len(seq), n_mut, replace=False)
+        seq[pos] = rng.integers(0, N_AA, n_mut)
+        query_names.append(f"contig1_{qi + 1}")
+        query_seqs.append("".join(ALPHABET[r] for r in seq))
+        expected.append(str(db.names[target]))
+    hits = protein_search.search(query_names, query_seqs, db)
+    assert set(hits) == set(query_names)
+    for name, exp_target in zip(query_names, expected):
+        target, ev, bits, taxid = hits[name]
+        assert target == exp_target
+        assert ev < 1e-3 and bits > 0
+        assert taxid >= 1
+
+
+def test_search_no_hits_for_noise():
+    db = ProfileDB.synthetic(seed=13, n_profiles=80, min_len=60, max_len=150)
+    rng = np.random.default_rng(0)
+    seq = "".join(ALPHABET[r] for r in rng.integers(0, N_AA, 100))
+    hits = protein_search.search(["q_1"], [seq], db)
+    assert hits == {}
+
+
+def test_search_sharded_matches_unsharded():
+    db = ProfileDB.synthetic(seed=21, n_profiles=96, min_len=60, max_len=150)
+    rng = np.random.default_rng(1)
+    queries = []
+    for target in (5, 40, 77):
+        cons = db.consensus(target)
+        queries.append("".join(ALPHABET[r] for r in cons))
+    names = [f"q_{i}" for i in range(len(queries))]
+    full = protein_search.search(names, queries, db)
+    for n_shards in (2, 4):
+        sharded = protein_search.search_sharded(names, queries, db, n_shards)
+        assert set(sharded) == set(full)
+        for q in full:
+            assert sharded[q][0] == full[q][0], f"{n_shards} shards: {q}"
+            assert sharded[q][2] == full[q][2]
+
+
+def test_encode_protein_and_kmers():
+    res = encode_protein("ACDX*")
+    assert res.tolist() == [0, 1, 2, 20, 20]
+    codes = profiledb.encode_kmers(np.array([0, 1, 2, 3, 4, 20, 0], dtype=np.int8), k=5)
+    assert codes[0] == ((((0 * 20 + 1) * 20 + 2) * 20 + 3) * 20 + 4)
+    assert codes[1] == -1 and codes[2] == -1  # windows touching the X
+
+
+def test_evalue_bitscore_monotonicity():
+    scores = np.array([50.0, 100.0, 200.0])
+    bits = protein_search.bitscore(scores)
+    assert (np.diff(bits) > 0).all()
+    evs = protein_search.evalue(scores, 300, 1_000_000)
+    assert (np.diff(evs) < 0).all()
