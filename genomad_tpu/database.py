@@ -58,6 +58,40 @@ class Database:
     def metadata_file(self) -> Path:
         return self._directory / "genomad_marker_metadata.tsv"
 
+    # Native packed-profile databases (genomad_tpu.ops.profiledb format).
+    # These replace the MMseqs2 profile DBs consumed by the reference; the
+    # converter in tools/build_profile_db.py produces them.
+
+    @property
+    def profile_db_file(self) -> Path:
+        return self._directory / "genomad_profiles.npz"
+
+    @property
+    def minimal_profile_db_file(self) -> Path:
+        return self._directory / "genomad_mini_profiles.npz"
+
+    @property
+    def integrase_profile_db_file(self) -> Path:
+        return self._directory / "genomad_integrase_profiles.npz"
+
+    def get_profile_db(self, use_minimal_db: bool = False, use_integrase_db: bool = False):
+        """Load the packed profile DB (reference analog: the MMseqs2 DB
+        selection in genomad/mmseqs2.py:23-31)."""
+        from genomad_tpu.ops.profiledb import ProfileDB
+
+        if use_integrase_db:
+            path = self.integrase_profile_db_file
+        elif use_minimal_db:
+            path = self.minimal_profile_db_file
+        else:
+            path = self.profile_db_file
+        if not path.exists():
+            raise FileNotFoundError(
+                f"profile database {path} not found — build it with "
+                "tools/build_profile_db.py"
+            )
+        return ProfileDB.load(path)
+
     def get_marker_annotation(self) -> dict:
         """marker -> (uscg, plasmid_hallmark, virus_hallmark, conjscan, amr,
         accessions, description) — reference: database.py:42-79.
