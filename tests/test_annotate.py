@@ -7,45 +7,7 @@ import pytest
 from genomad_tpu.modules import annotate
 from genomad_tpu.ops.profiledb import ALPHABET, N_AA, ProfileDB
 from genomad_tpu.paths import GenomadOutputs
-from tests.test_features_taxonomy import _METADATA_HEADER
 from tests.test_gene_calling import make_gene, random_intergenic
-
-
-@pytest.fixture
-def synthetic_db_dir(tmp_path):
-    """A complete synthetic geNomad DB directory: packed profiles, marker
-    metadata, and a minimal taxdump."""
-    db_dir = tmp_path / "genomad_db"
-    db_dir.mkdir()
-    (db_dir / "version.txt").write_text("1.9\n")
-    db = ProfileDB.synthetic(seed=17, n_profiles=40, min_len=60, max_len=120)
-    # attach taxids: profile 7 -> Caudoviricetes (40)
-    db.taxids[:] = 0
-    db.taxids[7] = 40
-    db.save(db_dir / "genomad_profiles.npz")
-    db.save(db_dir / "genomad_mini_profiles.npz")
-    ProfileDB.synthetic(seed=99, n_profiles=4, min_len=60, max_len=90).save(
-        db_dir / "genomad_integrase_profiles.npz"
-    )
-    with open(db_dir / "genomad_marker_metadata.tsv", "w") as f:
-        f.write(_METADATA_HEADER + "\n")
-        for i, name in enumerate(db.names):
-            spec = "VV" if i % 2 else "CC"
-            spm = ("0.1", "0.2", "0.9") if i % 2 else ("0.9", "0.2", "0.1")
-            hallmark_v = 1 if i % 2 else 0
-            f.write(
-                f"{name}\tx\t{spec}\tx\t{spm[0]}\t{spm[1]}\t{spm[2]}\t0\tNA\t0\t"
-                f"{hallmark_v}\tNA\tNA\tPF{i:05d}\tdesc{i}\tx\tx\n"
-            )
-    with open(db_dir / "nodes.dmp", "w") as f:
-        for t, p, r in [(1, 1, "no rank"), (10, 1, "realm"), (20, 10, "kingdom"),
-                        (30, 20, "phylum"), (40, 30, "class")]:
-            f.write(f"{t}\t|\t{p}\t|\t{r}\t|\n")
-    with open(db_dir / "names.dmp", "w") as f:
-        for t, n in [(1, "root"), (10, "Duplodnaviria"), (20, "Heunggongvirae"),
-                     (30, "Uroviricota"), (40, "Caudoviricetes")]:
-            f.write(f"{t}\t|\t{n}\t|\t\t|\tscientific name\t|\n")
-    return db_dir, db
 
 
 def test_annotate_end_to_end(tmp_path, synthetic_db_dir):
