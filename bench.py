@@ -1,0 +1,67 @@
+"""Benchmark: IGLOO window-classification throughput on the attached device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is Mbp/s of nucleotide sequence classified by the NN branch
+(6,000 bp windows -> 5,997 tokens -> IGLOO forward, bf16). The baseline is
+the reference's TF/Keras CPU path (genomad/modules/nn_classification.py —
+GPU explicitly disabled, batch 128), which sustains roughly 0.5 Mbp/s on a
+modern 8-thread CPU; see BASELINE.md for provenance.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_NN_CPU_MBPS = 0.5
+WINDOW_BP = 6_000
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from genomad_tpu.models import igloo
+
+    params = igloo.init_params(seed=0)
+    # make_forward passes parameters as jit arguments (device buffers), not
+    # closure constants — constant-embedding 10M-element weights makes HLO
+    # lowering pathologically slow.
+    forward = igloo.make_forward(params, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    best_mbps = 0.0
+    best_batch = None
+    for batch_size in (128, 256, 512):
+        tokens = rng.integers(0, 257, (batch_size, igloo.WINDOW_TOKENS)).astype(np.int32)
+        tokens_dev = jax.device_put(tokens)
+        # compile + warmup
+        forward(tokens_dev).block_until_ready()
+        forward(tokens_dev).block_until_ready()
+        n_iters = 8
+        start = time.perf_counter()
+        for _ in range(n_iters):
+            out = forward(tokens_dev)
+        out.block_until_ready()
+        elapsed = time.perf_counter() - start
+        mbps = n_iters * batch_size * WINDOW_BP / elapsed / 1e6
+        print(f"# batch={batch_size}: {mbps:.2f} Mbp/s ({elapsed / n_iters * 1e3:.1f} ms/batch)", file=sys.stderr)
+        if mbps > best_mbps:
+            best_mbps, best_batch = mbps, batch_size
+
+    print(
+        json.dumps(
+            {
+                "metric": f"nn_classification_throughput(batch={best_batch})",
+                "value": round(best_mbps, 3),
+                "unit": "Mbp/s",
+                "vs_baseline": round(best_mbps / BASELINE_NN_CPU_MBPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
