@@ -184,19 +184,33 @@ def _leaky_relu(x):
 
 
 def _causal_embed_conv(tokens: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
-    """Width-K causal conv over one-hot input, computed as K shifted
-    embedding lookups (the one-hot tensor is never materialized).
+    """Width-K causal conv over one-hot input, computed as ONE embedding
+    gather of a combined table plus K shifted slice-adds (the one-hot
+    tensor is never materialized).
 
     out[:, t] = bias + sum_k kernel[k][tokens[:, t - (K-1) + k]]
     with out-of-range positions contributing zero (causal zero padding).
+
+    The K per-offset tables are concatenated into U (V+1, K*C) (last row =
+    zero pad token); a single wide gather G = U[padded_tokens] replaces K
+    separate row gathers, and the shifted sum over G's K channel blocks is
+    pure fusible elementwise work.
     """
-    k_size = kernel.shape[0]
+    k_size, vocab, channels = kernel.shape
     length = tokens.shape[1]
-    out = jnp.zeros((tokens.shape[0], length, kernel.shape[2]), kernel.dtype)
-    for k in range(k_size):
-        shift = k_size - 1 - k  # input is `shift` positions behind the output
-        contrib = jnp.take(kernel[k], tokens[:, : length - shift], axis=0)
-        out = out.at[:, shift:, :].add(contrib)
+    table = jnp.concatenate(
+        [
+            jnp.swapaxes(kernel, 0, 1).reshape(vocab, k_size * channels),
+            jnp.zeros((1, k_size * channels), kernel.dtype),
+        ],
+        axis=0,
+    )
+    padded = jnp.pad(tokens, ((0, 0), (k_size - 1, 0)), constant_values=vocab)
+    gathered = jnp.take(table, padded, axis=0)  # (B, L+K-1, K*C)
+    out = sum(
+        gathered[:, k : k + length, k * channels : (k + 1) * channels]
+        for k in range(k_size)
+    )
     return out + bias
 
 

@@ -1,0 +1,109 @@
+"""Native (C++) host-side components.
+
+The shared library is compiled on first use with g++ (-O3 -march=native)
+and cached next to the source. Every native entry point has a pure
+numpy fallback in genomad_tpu.ops, so the package works without a
+toolchain; the native path is selected automatically when available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_LIB_PATH = _DIR / "libgenomad_native.so"
+_lib = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    sources = [str(_DIR / "prefilter.cpp")]
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        *sources, "-o", str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def get_library():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    newest_src = max(p.stat().st_mtime for p in _DIR.glob("*.cpp"))
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < newest_src:
+        if not _build():
+            _lib_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        _lib_failed = True
+        return None
+    lib.prefilter_query.restype = ctypes.c_int64
+    lib.prefilter_query.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),   # sorted_kmers
+        ctypes.POINTER(ctypes.c_int32),   # entry_profiles
+        ctypes.POINTER(ctypes.c_int32),   # entry_positions
+        ctypes.c_int64,                   # n_entries
+        ctypes.POINTER(ctypes.c_int64),   # query_codes
+        ctypes.c_int64,                   # n_codes
+        ctypes.POINTER(ctypes.c_int8),    # residues
+        ctypes.c_int64,                   # query_length
+        ctypes.POINTER(ctypes.c_float),   # pssm
+        ctypes.POINTER(ctypes.c_int64),   # offsets
+        ctypes.POINTER(ctypes.c_int32),   # lengths
+        ctypes.c_float,                   # min_ungapped_score
+        ctypes.POINTER(ctypes.c_int32),   # out_profiles
+        ctypes.c_int64,                   # max_out
+    ]
+    _lib = lib
+    return _lib
+
+
+def _ptr(array: np.ndarray, ctype):
+    return array.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def native_prefilter_query(index, residues, db, min_ungapped_score: float, max_out: int = 100_000):
+    """Native prefilter (see prefilter.cpp). Returns selected profile ids,
+    or None when the native library is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    from genomad_tpu.ops.profiledb import encode_kmers
+
+    codes = np.ascontiguousarray(encode_kmers(residues), np.int64)
+    residues = np.ascontiguousarray(residues, np.int8)
+    sorted_kmers = np.ascontiguousarray(index.sorted_kmers, np.int64)
+    entry_profiles = np.ascontiguousarray(index.profiles, np.int32)
+    entry_positions = np.ascontiguousarray(index.positions, np.int32)
+    pssm = np.ascontiguousarray(db.pssm, np.float32)
+    offsets = np.ascontiguousarray(db.offsets, np.int64)
+    lengths = np.ascontiguousarray(db.lengths, np.int32)
+    out = np.zeros(max_out, np.int32)
+    n = lib.prefilter_query(
+        _ptr(sorted_kmers, ctypes.c_int64),
+        _ptr(entry_profiles, ctypes.c_int32),
+        _ptr(entry_positions, ctypes.c_int32),
+        len(sorted_kmers),
+        _ptr(codes, ctypes.c_int64),
+        len(codes),
+        _ptr(residues, ctypes.c_int8),
+        len(residues),
+        _ptr(pssm, ctypes.c_float),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(lengths, ctypes.c_int32),
+        float(min_ungapped_score),
+        _ptr(out, ctypes.c_int32),
+        max_out,
+    )
+    return out[:n].copy()

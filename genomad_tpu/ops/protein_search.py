@@ -286,10 +286,14 @@ def search(
             pairs_q.extend([qi] * db.n_profiles)
             pairs_p.extend(range(db.n_profiles))
     else:
+        from genomad_tpu import native
+
         top_residues = 1 if sensitivity < 6 else 2
         index = db.kmer_index(top_residues)
         for qi, residues in enumerate(residues_list):
-            cands = prefilter_query(residues, db, index, min_ungapped_score)
+            cands = native.native_prefilter_query(index, residues, db, min_ungapped_score)
+            if cands is None:  # no C++ toolchain: numpy fallback
+                cands = prefilter_query(residues, db, index, min_ungapped_score)
             pairs_q.extend([qi] * len(cands))
             pairs_p.extend(cands.tolist())
     if not pairs_q:
