@@ -170,22 +170,24 @@ def main(
     if skip and outputs.annotate_proteins_output.exists():
         console.log(f"{outputs.annotate_proteins_output.name} was found. Skipping gene prediction.")
     else:
-        prodigal_obj.run_parallel_prodigal(threads)
+        with console.timer("gene-calling"):
+            prodigal_obj.run_parallel_prodigal(threads)
         console.log(f"Proteins predicted and written to {outputs.annotate_proteins_output.name}.")
 
     # --- marker search ---
     if skip and outputs.annotate_mmseqs2_output.exists():
         console.log(f"{outputs.annotate_mmseqs2_output.name} was found. Skipping protein annotation.")
     else:
-        run_search(
-            outputs.annotate_proteins_output,
-            outputs.annotate_mmseqs2_output,
-            database_obj,
-            use_minimal_db=use_minimal_db,
-            sensitivity=sensitivity,
-            evalue=evalue,
-            mesh=mesh,
-        )
+        with console.timer("marker-search"):
+            run_search(
+                outputs.annotate_proteins_output,
+                outputs.annotate_mmseqs2_output,
+                database_obj,
+                use_minimal_db=use_minimal_db,
+                sensitivity=sensitivity,
+                evalue=evalue,
+                mesh=mesh,
+            )
         console.log(
             f"Proteins annotated using the geNomad database (v{database_obj.version}) "
             f"and written to {outputs.annotate_mmseqs2_output.name}."

@@ -39,7 +39,8 @@ def _classify_fasta(fasta_path, cache_dir, cache_npz, id_key, single_window, bat
         if cache_dir.is_dir():
             shutil.rmtree(cache_dir)
         cache_dir.mkdir(parents=True)
-        tokens, names, ids = nn_pipeline.encode_windows(fasta_path, single_window)
+        with console.timer("window-encoding"):
+            tokens, names, ids = nn_pipeline.encode_windows(fasta_path, single_window)
         np.savez_compressed(
             cache_npz,
             tokens=tokens,
@@ -50,7 +51,8 @@ def _classify_fasta(fasta_path, cache_dir, cache_npz, id_key, single_window, bat
         return names, np.zeros((0, igloo.N_CLASSES), dtype=np.float32)
     params = weights.load_params(console)
     forward = igloo.make_forward(params)
-    window_preds = nn_pipeline.predict_windows(forward, tokens, batch_size, mesh)
+    with console.timer("nn-inference"):
+        window_preds = nn_pipeline.predict_windows(forward, tokens, batch_size, mesh)
     predictions = nn_pipeline.segment_mean(window_preds, ids, len(names))
     return names, predictions
 

@@ -179,6 +179,16 @@ class Console:
         """Context manager analog of rich's status spinner (log-only here)."""
         yield self
 
+    @contextmanager
+    def timer(self, stage: str):
+        """Per-stage wall-clock timing (the reference has no stage timing;
+        the Mbp/s accounting requires it — SURVEY.md section 5.1)."""
+        import time
+
+        start = time.perf_counter()
+        yield
+        self.log(f"[{stage}] completed in {time.perf_counter() - start:.2f}s")
+
 
 def display_header(console, module_name, module_description, output_dir, output_files, output_descriptions):
     """Print the module banner (reference: genomad/utils.py:300-325)."""
