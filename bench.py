@@ -23,6 +23,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from genomad_tpu.models import igloo
 
     params = igloo.init_params(seed=0)
@@ -32,24 +35,21 @@ def main():
     forward = igloo.make_forward(params, compute_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    best_mbps = 0.0
-    best_batch = None
-    for batch_size in (128, 256, 512):
-        tokens = rng.integers(0, 257, (batch_size, igloo.WINDOW_TOKENS)).astype(np.int32)
-        tokens_dev = jax.device_put(tokens)
-        # compile + warmup
-        forward(tokens_dev).block_until_ready()
-        forward(tokens_dev).block_until_ready()
-        n_iters = 8
-        start = time.perf_counter()
-        for _ in range(n_iters):
-            out = forward(tokens_dev)
-        out.block_until_ready()
-        elapsed = time.perf_counter() - start
-        mbps = n_iters * batch_size * WINDOW_BP / elapsed / 1e6
-        print(f"# batch={batch_size}: {mbps:.2f} Mbp/s ({elapsed / n_iters * 1e3:.1f} ms/batch)", file=sys.stderr)
-        if mbps > best_mbps:
-            best_mbps, best_batch = mbps, batch_size
+    batch_size = 512
+    tokens = rng.integers(0, 257, (batch_size, igloo.WINDOW_TOKENS)).astype(np.int32)
+    tokens_dev = jax.device_put(tokens)
+    # compile + warmup (np.asarray forces completion — block_until_ready is
+    # not reliable on the axon platform)
+    np.asarray(forward(tokens_dev))
+    n_iters = 8
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = forward(tokens_dev)
+    np.asarray(out)
+    elapsed = time.perf_counter() - start
+    best_mbps = n_iters * batch_size * WINDOW_BP / elapsed / 1e6
+    best_batch = batch_size
+    print(f"# batch={batch_size}: {best_mbps:.2f} Mbp/s ({elapsed / n_iters * 1e3:.1f} ms/batch)", file=sys.stderr)
 
     print(
         json.dumps(
