@@ -48,6 +48,26 @@ def get_library():
     except OSError:
         _lib_failed = True
         return None
+    lib.prefilter_batch.restype = ctypes.c_int64
+    lib.prefilter_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),   # sorted_kmers
+        ctypes.POINTER(ctypes.c_int32),   # entry_profiles
+        ctypes.POINTER(ctypes.c_int32),   # entry_positions
+        ctypes.c_int64,                   # n_entries
+        ctypes.POINTER(ctypes.c_int64),   # query_codes (concat)
+        ctypes.POINTER(ctypes.c_int64),   # code_offsets
+        ctypes.POINTER(ctypes.c_int8),    # residues (concat)
+        ctypes.POINTER(ctypes.c_int64),   # residue_offsets
+        ctypes.c_int64,                   # n_queries
+        ctypes.POINTER(ctypes.c_float),   # pssm
+        ctypes.POINTER(ctypes.c_int64),   # offsets
+        ctypes.POINTER(ctypes.c_int32),   # lengths
+        ctypes.c_float,                   # min_ungapped_score
+        ctypes.POINTER(ctypes.c_int32),   # out_profiles
+        ctypes.POINTER(ctypes.c_int64),   # out_counts
+        ctypes.c_int64,                   # max_out_per_query
+        ctypes.c_int32,                   # n_threads
+    ]
     lib.prefilter_query.restype = ctypes.c_int64
     lib.prefilter_query.argtypes = [
         ctypes.POINTER(ctypes.c_int64),   # sorted_kmers
@@ -71,6 +91,59 @@ def get_library():
 
 def _ptr(array: np.ndarray, ctype):
     return array.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def native_prefilter_batch(index, residues_list, db, min_ungapped_score: float, max_out_per_query: int = 8_192, n_threads: int | None = None):
+    """Multithreaded batch prefilter over all queries at once.
+
+    Returns a list of per-query candidate-profile arrays, or None when the
+    native library is unavailable.
+    """
+    lib = get_library()
+    if lib is None or not residues_list:
+        return None
+    from genomad_tpu import utils
+    from genomad_tpu.ops.profiledb import encode_kmers
+
+    if n_threads is None:
+        n_threads = utils.get_n_available_cpus()
+    codes_list = [np.ascontiguousarray(encode_kmers(r), np.int64) for r in residues_list]
+    code_offsets = np.zeros(len(codes_list) + 1, np.int64)
+    np.cumsum([len(c) for c in codes_list], out=code_offsets[1:])
+    codes = np.concatenate(codes_list) if codes_list else np.zeros(0, np.int64)
+    residue_offsets = np.zeros(len(residues_list) + 1, np.int64)
+    np.cumsum([len(r) for r in residues_list], out=residue_offsets[1:])
+    residues = np.ascontiguousarray(np.concatenate(residues_list), np.int8)
+    codes = np.ascontiguousarray(codes, np.int64)
+    sorted_kmers = np.ascontiguousarray(index.sorted_kmers, np.int64)
+    entry_profiles = np.ascontiguousarray(index.profiles, np.int32)
+    entry_positions = np.ascontiguousarray(index.positions, np.int32)
+    pssm = np.ascontiguousarray(db.pssm, np.float32)
+    offsets = np.ascontiguousarray(db.offsets, np.int64)
+    lengths = np.ascontiguousarray(db.lengths, np.int32)
+    n_queries = len(residues_list)
+    out = np.zeros((n_queries, max_out_per_query), np.int32)
+    counts = np.zeros(n_queries, np.int64)
+    lib.prefilter_batch(
+        _ptr(sorted_kmers, ctypes.c_int64),
+        _ptr(entry_profiles, ctypes.c_int32),
+        _ptr(entry_positions, ctypes.c_int32),
+        len(sorted_kmers),
+        _ptr(codes, ctypes.c_int64),
+        _ptr(code_offsets, ctypes.c_int64),
+        _ptr(residues, ctypes.c_int8),
+        _ptr(residue_offsets, ctypes.c_int64),
+        n_queries,
+        _ptr(pssm, ctypes.c_float),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(lengths, ctypes.c_int32),
+        float(min_ungapped_score),
+        _ptr(out, ctypes.c_int32),
+        _ptr(counts, ctypes.c_int64),
+        max_out_per_query,
+        int(n_threads),
+    )
+    return [out[q, : counts[q]].copy() for q in range(n_queries)]
 
 
 def native_prefilter_query(index, residues, db, min_ungapped_score: float, max_out: int = 100_000):

@@ -16,7 +16,9 @@
 // Plain C ABI for ctypes; no Python headers required.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -111,6 +113,52 @@ int64_t prefilter_query(
     int64_t n = std::min<int64_t>(selected.size(), max_out);
     std::copy(selected.begin(), selected.begin() + n, out_profiles);
     return n;
+}
+
+// Batched, multithreaded driver: runs prefilter_query over n_queries
+// concatenated queries (CSR layout) with n_threads workers. Outputs are
+// written per query into out_profiles[q * max_out_per_query ...] with
+// counts in out_counts[q]. Replaces the reference's `--threads` knob for
+// this stage (genomad/mmseqs2.py:83).
+int64_t prefilter_batch(
+    const int64_t* sorted_kmers,
+    const int32_t* entry_profiles,
+    const int32_t* entry_positions,
+    int64_t n_entries,
+    const int64_t* query_codes,      // concatenated
+    const int64_t* code_offsets,     // (n_queries+1)
+    const int8_t* residues,          // concatenated
+    const int64_t* residue_offsets,  // (n_queries+1)
+    int64_t n_queries,
+    const float* pssm,
+    const int64_t* offsets,
+    const int32_t* lengths,
+    float min_ungapped_score,
+    int32_t* out_profiles,           // (n_queries, max_out_per_query)
+    int64_t* out_counts,             // (n_queries)
+    int64_t max_out_per_query,
+    int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            int64_t q = next.fetch_add(1);
+            if (q >= n_queries) break;
+            out_counts[q] = prefilter_query(
+                sorted_kmers, entry_profiles, entry_positions, n_entries,
+                query_codes + code_offsets[q],
+                code_offsets[q + 1] - code_offsets[q],
+                residues + residue_offsets[q],
+                residue_offsets[q + 1] - residue_offsets[q],
+                pssm, offsets, lengths, min_ungapped_score,
+                out_profiles + q * max_out_per_query, max_out_per_query);
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int32_t t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+    worker();
+    for (auto& t : threads) t.join();
+    return n_queries;
 }
 
 }  // extern "C"

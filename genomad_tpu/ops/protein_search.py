@@ -290,10 +290,13 @@ def search(
 
         top_residues = 1 if sensitivity < 6 else 2
         index = db.kmer_index(top_residues)
-        for qi, residues in enumerate(residues_list):
-            cands = native.native_prefilter_query(index, residues, db, min_ungapped_score)
-            if cands is None:  # no C++ toolchain: numpy fallback
-                cands = prefilter_query(residues, db, index, min_ungapped_score)
+        batch_cands = native.native_prefilter_batch(index, residues_list, db, min_ungapped_score)
+        if batch_cands is None:  # no C++ toolchain: numpy fallback
+            batch_cands = [
+                prefilter_query(residues, db, index, min_ungapped_score)
+                for residues in residues_list
+            ]
+        for qi, cands in enumerate(batch_cands):
             pairs_q.extend([qi] * len(cands))
             pairs_p.extend(cands.tolist())
     if not pairs_q:

@@ -33,6 +33,18 @@ def test_native_matches_numpy_prefilter(lib, rng):
     np.testing.assert_array_equal(np.sort(got), np.sort(expected))
 
 
+def test_native_batch_matches_single(lib, rng):
+    db = ProfileDB.synthetic(seed=41, n_profiles=40, min_len=60, max_len=120)
+    index = db.kmer_index(1)
+    residues_list = [db.consensus(t)[:80] for t in (2, 9, 33)]
+    residues_list.append(rng.integers(0, 20, 70).astype(np.int8))
+    batch = native.native_prefilter_batch(index, residues_list, db, 25.0, n_threads=2)
+    assert batch is not None
+    for residues, got in zip(residues_list, batch):
+        single = native.native_prefilter_query(index, residues, db, 25.0)
+        np.testing.assert_array_equal(np.sort(got), np.sort(single))
+
+
 def test_native_handles_unknown_residues(lib):
     db = ProfileDB.synthetic(seed=5, n_profiles=20, min_len=60, max_len=100)
     index = db.kmer_index(1)
