@@ -106,6 +106,18 @@ def _sw_forward(queries: jnp.ndarray, profiles: jnp.ndarray):
     return best, best_i, best_j
 
 
+def _sw_dispatch(queries: jnp.ndarray, prof21: jnp.ndarray):
+    """Select the SW kernel: the Pallas kernel when enabled (TPU), else the
+    lax.scan kernel. Both are numerically identical (tests/test_sw_pallas)."""
+    import os
+
+    if os.environ.get("GENOMAD_TPU_USE_PALLAS", "0") == "1":
+        from genomad_tpu.ops import sw_pallas
+
+        return sw_pallas.sw_forward_pallas(queries, prof21)
+    return _sw_forward(queries, prof21)
+
+
 def sw_align(queries: np.ndarray, profiles: np.ndarray, compute_starts: bool = False):
     """Forward (and optionally reverse) SW over a padded batch.
 
@@ -120,7 +132,7 @@ def sw_align(queries: np.ndarray, profiles: np.ndarray, compute_starts: bool = F
     prof21 = np.concatenate(
         [profiles, np.zeros((*profiles.shape[:2], 1), np.float32)], axis=2
     )
-    best, end_i, end_j = (np.asarray(x) for x in _sw_forward(jnp.asarray(queries), jnp.asarray(prof21)))
+    best, end_i, end_j = (np.asarray(x) for x in _sw_dispatch(jnp.asarray(queries), jnp.asarray(prof21)))
     out = {"score": best, "end_i": end_i, "end_j": end_j}
     if compute_starts:
         B, Lq = queries.shape
@@ -131,7 +143,7 @@ def sw_align(queries: np.ndarray, profiles: np.ndarray, compute_starts: bool = F
             ie, je = end_i[b], end_j[b]
             rev_q[b, : ie + 1] = queries[b, : ie + 1][::-1]
             rev_p[b, : je + 1] = prof21[b, : je + 1][::-1]
-        rbest, rei, rej = (np.asarray(x) for x in _sw_forward(jnp.asarray(rev_q), jnp.asarray(rev_p)))
+        rbest, rei, rej = (np.asarray(x) for x in _sw_dispatch(jnp.asarray(rev_q), jnp.asarray(rev_p)))
         out["start_i"] = end_i - rei
         out["start_j"] = end_j - rej
         out["score_rev"] = rbest  # == score (sanity invariant)

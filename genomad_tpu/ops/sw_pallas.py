@@ -92,12 +92,15 @@ def _sw_kernel(q_ref, p_ref, best_ref, iend_ref, jend_ref, s_scratch):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
-def sw_forward_pallas(queries: jnp.ndarray, profiles: jnp.ndarray, tile_b: int = 8, interpret: bool = False):
+def sw_forward_pallas(queries: jnp.ndarray, profiles: jnp.ndarray, tile_b: int = 8, interpret: bool | None = None):
     """Batched SW via the Pallas kernel.
 
     queries: (B, Lq) int32 (pad/unknown = 20); profiles: (B, Lp, 21) f32.
     Returns (best, end_i, end_j), matching _sw_forward.
     """
+    if interpret is None:
+        # compiled Mosaic on TPU; interpreter everywhere else
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
     B, Lq = queries.shape
     Lp = profiles.shape[1]
     pad_b = (-B) % tile_b
