@@ -326,21 +326,43 @@ def search(
     qb = bucket_bound(q_lengths[pairs_q])
     pb = bucket_bound(db.lengths[pairs_p])
     bounds = (64, 128, 256, 512, 1024, 4096, 65536)
+    # Padded operand caches: queries padded once per q-bucket; profiles
+    # padded once per p-bucket (batch assembly is then fancy indexing).
+    padded_queries: dict[int, np.ndarray] = {}
+    padded_profiles: dict[int, np.ndarray] = {}
+
+    def get_padded_queries(qb_i):
+        if qb_i not in padded_queries:
+            Lq = bounds[qb_i]
+            arr = np.full((len(residues_list), Lq), 20, np.int32)
+            for i, r in enumerate(residues_list):
+                if len(r) <= Lq:
+                    arr[i, : len(r)] = r
+            padded_queries[qb_i] = arr
+        return padded_queries[qb_i]
+
+    def get_padded_profiles(pb_i):
+        """Compact padded tensor over the profiles actually hit in this
+        bucket (ids sorted; lookups via searchsorted remap)."""
+        if pb_i not in padded_profiles:
+            Lp = bounds[pb_i]
+            ids = np.unique(pairs_p[pb == pb_i])
+            arr = np.zeros((len(ids), Lp, N_AA), np.float32)
+            for i, pid in enumerate(ids):
+                prof = db.profile(pid)
+                arr[i, : len(prof)] = prof
+            padded_profiles[pb_i] = (ids, arr)
+        return padded_profiles[pb_i]
+
     for qb_i in np.unique(qb):
+        all_q = get_padded_queries(qb_i)
         for pb_i in np.unique(pb[qb == qb_i]):
             sel = np.where((qb == qb_i) & (pb == pb_i))[0]
-            Lq = bounds[qb_i]
-            Lp = bounds[pb_i]
+            p_ids, all_p = get_padded_profiles(pb_i)
             for chunk_start in range(0, len(sel), batch_size):
                 chunk = sel[chunk_start : chunk_start + batch_size]
-                B = len(chunk)
-                q_batch = np.full((B, Lq), 20, np.int32)
-                p_batch = np.zeros((B, Lp, N_AA), np.float32)
-                for bi, pair_i in enumerate(chunk):
-                    r = residues_list[pairs_q[pair_i]]
-                    q_batch[bi, : len(r)] = r
-                    prof = db.profile(pairs_p[pair_i])
-                    p_batch[bi, : len(prof)] = prof
+                q_batch = all_q[pairs_q[chunk]]
+                p_batch = all_p[np.searchsorted(p_ids, pairs_p[chunk])]
                 fwd = sw_align(q_batch, p_batch, compute_starts=False)
                 # pass 1: E-value gate (align-mode 1 analog)
                 e_vals = evalue(fwd["score"], q_lengths[pairs_q[chunk]], db_positions)
