@@ -39,7 +39,7 @@ from genomad_tpu import sequence as seqlib
 
 MIN_GENE_LENGTH = 90  # nt, prodigal default
 MAX_OVERLAP = 60  # nt, same-strand overlap allowance
-TRAINING_MIN_ORF = 300  # nt, ORFs used to seed the coding model
+TRAINING_MIN_ORF = 150  # nt, ORFs used to seed the coding model (broad GeneMark-style self-training)
 
 _BASE = {65: 0, 67: 1, 71: 2, 84: 3}  # A C G T
 
@@ -112,6 +112,10 @@ class HexamerModel:
     def __init__(self):
         self.log_ratio = np.zeros(4096, np.float32)
         self.trained = False
+        # Shrinkage toward zero for small training sets: a model fit on a
+        # handful of genes must not veto unrelated genes (the reference's
+        # meta mode uses large pretrained models and has no such issue).
+        self.shrink = 0.0
 
     @staticmethod
     def _hexamer_codes(codes: np.ndarray) -> np.ndarray:
@@ -144,7 +148,9 @@ class HexamerModel:
         if n_train < self.MIN_TRAINING_HEXAMERS:
             self.log_ratio = np.zeros(4096, np.float32)
             self.trained = False
+            self.shrink = 0.0
             return
+        self.shrink = min(1.0, n_train / 5_000.0)
         coding = counts / counts.sum()
         bg = background_hexamers + 1.0
         bg = bg / bg.sum()
@@ -323,7 +329,9 @@ def _call_genes_for_code(seq: str, code: int, model: HexamerModel) -> list[Gene]
             else:
                 upstream = upper[max(0, begin0 - 20) : begin0]
                 rbs_motif, rbs_spacer, rbs_score = find_rbs(upstream)
-            score = coding_score + rbs_score + _START_SCORES[start_type]
+            # DP selection uses the shrunk coding evidence; the raw score is
+            # kept on the gene for genetic-code adoption comparisons.
+            score = coding_score * model.shrink + rbs_score + _START_SCORES[start_type]
             # prefer longer genes among nested candidates: small per-nt bonus
             score += 0.001 * len(cds)
             if strand == 1:
