@@ -29,14 +29,15 @@ def main():
     from genomad_tpu.models import igloo
 
     params = igloo.init_params(seed=0)
-    # make_forward passes parameters as jit arguments (device buffers), not
-    # closure constants — constant-embedding 10M-element weights makes HLO
-    # lowering pathologically slow.
-    forward = igloo.make_forward(params, compute_dtype=jnp.bfloat16)
+    # make_forward_bases: production fast path (two-table embedding); params
+    # travel as jit arguments (device buffers), not closure constants —
+    # constant-embedding 10M-element weights makes HLO lowering
+    # pathologically slow.
+    forward = igloo.make_forward_bases(params, compute_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     batch_size = 512
-    tokens = rng.integers(0, 257, (batch_size, igloo.WINDOW_TOKENS)).astype(np.int32)
+    tokens = rng.integers(0, 4, (batch_size, 6000)).astype(np.int32)
     tokens_dev = jax.device_put(tokens)
     # compile + warmup (np.asarray forces completion — block_until_ready is
     # not reliable on the axon platform)

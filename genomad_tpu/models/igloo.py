@@ -133,6 +133,40 @@ def init_params(seed: int = 0) -> Params:
     return params
 
 
+def build_base_tables(kernel: np.ndarray) -> np.ndarray:
+    """Precompute the two 6-base group tables for the fast embedding path.
+
+    Because DNA tokens are OVERLAPPING 4-mers, the six tokens feeding
+    output position t are fully determined by 9 consecutive bases, split
+    into two 6-base groups: tokens {t-5,t-4,t-3} by bases t-5..t and
+    tokens {t-2,t-1,t} by bases t-2..t+3. Each group has only 5^6 = 15,625
+    possible base patterns (alphabet ACGT + N), so the summed conv-kernel
+    contribution of a whole group is a table row:
+
+        G[g][code(bases)] = sum_j kernel[3g+j][token_j(bases)]
+
+    with token_j = 0 when its 4-base window contains an N — exactly the
+    tokenizer's semantics (genomad/sequence.py:170-193). The embedding then
+    needs TWO 128-wide gathers per position instead of one 768-wide gather:
+    6x less gather traffic for bit-identical results.
+
+    kernel: (6, 257, C) -> tables (2, 15625, C) float32.
+    """
+    k_size, vocab, channels = kernel.shape
+    assert k_size == 6 and vocab == 257
+    codes = np.arange(5**6)
+    digits = (codes[:, None] // (5 ** np.arange(6))) % 5  # (15625, 6), digit j = base at offset j
+    tables = np.zeros((2, 5**6, channels), np.float32)
+    weights4 = 4 ** np.arange(3, -1, -1)
+    for g in range(2):
+        for j in range(3):
+            window = digits[:, j : j + 4]  # bases of token j in this group
+            valid = (window < 4).all(axis=1)
+            token = np.where(valid, window @ weights4 + 1, 0)
+            tables[g] += kernel[3 * g + j][token]
+    return tables
+
+
 def prepare_params(params: Params, compute_dtype=jnp.bfloat16) -> Params:
     """Fold inference-time constants and cast for the TPU forward pass.
 
@@ -160,8 +194,15 @@ def prepare_params(params: Params, compute_dtype=jnp.bfloat16) -> Params:
     def cast(d):
         return {k: jnp.asarray(v, compute_dtype) for k, v in d.items()}
 
+    conv1 = np.asarray(params["conv1"]["kernel"])
+    base_tables = (
+        jnp.asarray(build_base_tables(conv1), compute_dtype)
+        if conv1.shape[0] == CONV_KERNEL and conv1.shape[1] == VOCAB
+        else None
+    )
     return {
         "conv1": cast(params["conv1"]),
+        "base_tables": base_tables,
         "igloo1": fold_igloo(params["igloo1"]),
         "conv2": cast(params["conv2"]),
         "conv3": cast(params["conv3"]),
@@ -256,13 +297,39 @@ def _bn(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return x * p["scale"] + p["shift"]
 
 
-def apply(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
-    """Inference forward pass: (B, 5997) int tokens -> (B, 3) class probs.
+def _embed_from_bases(bases: jnp.ndarray, tables: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """Fast first-conv path from 5-ary base codes (see build_base_tables).
 
-    ``params`` must come from :func:`prepare_params`.
+    bases: (B, L_bases) int32 in [0, 4] (4 = N/unknown). Output length is
+    L_bases - 3 (one per token position), matching _causal_embed_conv on the
+    tokenized sequence bit-for-bit.
     """
-    p = params
-    h1 = _leaky_relu(_causal_embed_conv(tokens, p["conv1"]["kernel"], p["conv1"]["bias"]))
+    n_out = bases.shape[1] - 3
+    # 5-ary 6-mer codes C6[p] = sum_j bases[p+j] * 5^j, p = 0..L_bases-6
+    n_codes = bases.shape[1] - 5
+    c6 = sum(bases[:, j : j + n_codes] * (5**j) for j in range(6))
+    # main positions t >= 5: group a at t-5, group b at t-2
+    main = jnp.take(tables[0], c6[:, : n_out - 5], axis=0) + jnp.take(
+        tables[1], c6[:, 3 : n_out - 2], axis=0
+    )
+    # edge positions t = 0..4: causal zero padding means only tokens
+    # 0..t contribute: h1[t] = sum_{k=5-t..5} kernel[k][token[t-5+k]]
+    weights4 = jnp.asarray([64, 16, 4, 1], jnp.int32)
+    first_windows = jnp.stack([bases[:, i : i + 4] for i in range(6)], axis=1)  # (B, 6, 4)
+    valid = (first_windows < 4).all(axis=2)
+    first_tokens = jnp.where(valid, first_windows @ weights4 + 1, 0)  # (B, 6)
+    edge_cols = []
+    for t in range(5):
+        acc = sum(
+            jnp.take(kernel[k], first_tokens[:, t - 5 + k], axis=0)
+            for k in range(5 - t, 6)
+        )
+        edge_cols.append(acc)
+    edge = jnp.stack(edge_cols, axis=1)  # (B, 5, C)
+    return jnp.concatenate([edge, main], axis=1) + bias
+
+
+def _forward_from_h1(p: Params, h1: jnp.ndarray) -> jnp.ndarray:
     a = _igloo_kernel(h1, p["igloo1"])
     h2 = _leaky_relu(_causal_conv(h1, p["conv2"]["kernel"], p["conv2"]["bias"]))
     h3 = _leaky_relu(_causal_conv(h2, p["conv3"]["kernel"], p["conv3"]["bias"]))
@@ -272,6 +339,28 @@ def apply(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
     hid = jax.nn.relu(_bn(enc @ p["head_dense"]["kernel"] + p["head_dense"]["bias"], p["head_bn"]))
     logits = (hid @ p["out_dense"]["kernel"] + p["out_dense"]["bias"]).astype(jnp.float32)
     return jax.nn.softmax(logits, axis=-1)
+
+
+def apply(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Inference forward pass: (B, 5997) int tokens -> (B, 3) class probs.
+
+    ``params`` must come from :func:`prepare_params`.
+    """
+    p = params
+    h1 = _leaky_relu(_causal_embed_conv(tokens, p["conv1"]["kernel"], p["conv1"]["bias"]))
+    return _forward_from_h1(p, h1)
+
+
+def apply_bases(params: Params, bases: jnp.ndarray) -> jnp.ndarray:
+    """Fast inference path from base codes: (B, 6000) int in [0, 4]
+    (ACGT=0..3, N=4) -> (B, 3) class probs. Bit-identical to
+    ``apply(params, tokenize(bases))`` but with 6x less embedding gather
+    traffic (see build_base_tables)."""
+    p = params
+    h1 = _leaky_relu(
+        _embed_from_bases(bases, p["base_tables"], p["conv1"]["kernel"], p["conv1"]["bias"])
+    )
+    return _forward_from_h1(p, h1)
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
@@ -285,6 +374,21 @@ def make_forward(params: Params, compute_dtype=jnp.bfloat16):
 
     def forward(tokens: jnp.ndarray) -> jnp.ndarray:
         return _jit_apply(prepared, tokens, compute_dtype=compute_dtype)
+
+    return forward
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _jit_apply_bases(prepared: Params, bases: jnp.ndarray):
+    return apply_bases(prepared, bases)
+
+
+def make_forward_bases(params: Params, compute_dtype=jnp.bfloat16):
+    """Jitted (base codes -> probs) closure — the production fast path."""
+    prepared = prepare_params(params, compute_dtype)
+
+    def forward(bases: jnp.ndarray) -> jnp.ndarray:
+        return _jit_apply_bases(prepared, bases)
 
     return forward
 

@@ -34,25 +34,25 @@ def _classify_fasta(fasta_path, cache_dir, cache_npz, id_key, single_window, bat
     if skip and cache_npz.exists():
         console.log(f"{cache_npz.name} was found. Skipping sequence encoding.")
         cached = np.load(cache_npz)
-        tokens, names, ids = cached["tokens"], cached[f"{id_key}_names"], cached[f"{id_key}_ids"]
+        bases, names, ids = cached["bases"], cached[f"{id_key}_names"], cached[f"{id_key}_ids"]
     else:
         if cache_dir.is_dir():
             shutil.rmtree(cache_dir)
         cache_dir.mkdir(parents=True)
         with console.timer("window-encoding"):
-            tokens, names, ids = nn_pipeline.encode_windows(fasta_path, single_window)
+            bases, names, ids = nn_pipeline.encode_windows(fasta_path, single_window)
         np.savez_compressed(
             cache_npz,
-            tokens=tokens,
+            bases=bases,
             **{f"{id_key}_names": names, f"{id_key}_ids": ids},
         )
-        console.log(f"Encoded {tokens.shape[0]} windows from {len(names)} sequences.")
+        console.log(f"Encoded {bases.shape[0]} windows from {len(names)} sequences.")
     if not len(names):
         return names, np.zeros((0, igloo.N_CLASSES), dtype=np.float32)
     params = weights.load_params(console)
-    forward = igloo.make_forward(params)
+    forward = igloo.make_forward_bases(params)
     with console.timer("nn-inference"):
-        window_preds = nn_pipeline.predict_windows(forward, tokens, batch_size, mesh)
+        window_preds = nn_pipeline.predict_windows(forward, bases, batch_size, mesh)
     predictions = nn_pipeline.segment_mean(window_preds, ids, len(names))
     return names, predictions
 

@@ -35,13 +35,16 @@ MAX_WINDOW_NS = 4_000
 
 
 def encode_windows(fasta_path: Path, single_window: bool = False):
-    """Encode a FASTA file into (tokens, contig_names, contig_ids).
+    """Encode a FASTA file into (base_codes, contig_names, contig_ids).
 
-    tokens: int32 (n_windows, 5997); contig_ids maps window -> contig index.
+    base_codes: uint8 (n_windows, 6000) with ACGT=0..3, N/other=4 (the
+    model's fast embedding path consumes base codes directly; tokens are
+    derived on device — see igloo.build_base_tables). contig_ids maps
+    window -> contig index.
     """
     contig_names: list[str] = []
     contig_ids: list[int] = []
-    token_rows: list[np.ndarray] = []
+    base_rows: list[np.ndarray] = []
     max_windows = 1 if single_window else None
     for contig_id, seq in enumerate(sequence.read_fasta(fasta_path, strip_n=True)):
         contig_names.append(seq.accession)
@@ -51,31 +54,37 @@ def encode_windows(fasta_path: Path, single_window: bool = False):
             if window_n > 0 and window.count("N") > MAX_WINDOW_NS:
                 continue
             padded = window.seq_ascii.ljust(WINDOW_LENGTH, b"N")
-            token_rows.append(sequence.tokenize_dna(padded, 4))
+            base_rows.append(
+                sequence._BASE_CODES[np.frombuffer(padded, np.uint8)].astype(np.uint8)
+            )
             contig_ids.append(contig_id)
-    if token_rows:
-        tokens = np.stack(token_rows).astype(np.int32)
+    if base_rows:
+        bases = np.stack(base_rows)
     else:
-        tokens = np.zeros((0, igloo.WINDOW_TOKENS), dtype=np.int32)
-    return tokens, np.array(contig_names), np.array(contig_ids, dtype=np.int32)
+        bases = np.zeros((0, WINDOW_LENGTH), dtype=np.uint8)
+    return bases, np.array(contig_names), np.array(contig_ids, dtype=np.int32)
 
 
 def predict_windows(
     forward: Callable,
-    tokens: np.ndarray,
+    windows: np.ndarray,
     batch_size: int = 128,
     mesh=None,
     progress: Callable[[int, int], None] | None = None,
+    pad_value: int = 4,
 ) -> np.ndarray:
     """Run the window classifier over all windows in fixed-shape batches.
 
-    The token matrix is padded to a full final batch (padding rows are
-    all-N windows) so XLA compiles exactly one program; with a mesh, each
-    batch is placed with its leading axis sharded over the 'data' axis.
+    ``windows`` is the encoded matrix (base codes (N, 6000) for the fast
+    path, or tokens (N, 5997) for the token path); it is padded to a full
+    final batch (padding rows are all-N windows) so XLA compiles exactly
+    one program; with a mesh, each batch is placed with its leading axis
+    sharded over the 'data' axis.
     """
-    n = tokens.shape[0]
+    n = windows.shape[0]
     if n == 0:
         return np.zeros((0, igloo.N_CLASSES), dtype=np.float32)
+    windows = np.ascontiguousarray(windows, dtype=np.int32)
     if mesh is not None:
         n_data = mesh.shape["data"]
         batch_size = meshlib.pad_to_multiple(batch_size, n_data)
@@ -84,13 +93,13 @@ def predict_windows(
         sharding = None
     n_padded = meshlib.pad_to_multiple(n, batch_size)
     if n_padded != n:
-        tokens = np.concatenate(
-            [tokens, np.zeros((n_padded - n, tokens.shape[1]), dtype=tokens.dtype)]
+        windows = np.concatenate(
+            [windows, np.full((n_padded - n, windows.shape[1]), pad_value, dtype=windows.dtype)]
         )
     outputs = []
     n_batches = n_padded // batch_size
     for i in range(n_batches):
-        batch = tokens[i * batch_size : (i + 1) * batch_size]
+        batch = windows[i * batch_size : (i + 1) * batch_size]
         if sharding is not None:
             batch = jax.device_put(batch, sharding)
         outputs.append(np.asarray(forward(batch), dtype=np.float32))

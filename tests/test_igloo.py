@@ -211,3 +211,52 @@ def test_train_forward_runs(rng):
     tokens = jnp.asarray(rng.integers(0, 9, size=(2, 64)), jnp.int32)
     probs = igloo.apply_train(prepared, tokens, jax.random.PRNGKey(0))
     assert probs.shape == (2, 3)
+
+
+def test_apply_bases_matches_apply(rng):
+    """The base-code fast path is bit-compatible with the token path,
+    including N handling and the causal edge."""
+    import jax.numpy as jnp
+
+    from genomad_tpu import sequence
+
+    params = igloo.init_params(seed=4)
+    prepared = igloo.prepare_params(params, compute_dtype=jnp.float32)
+    # random DNA with Ns sprinkled in
+    alphabet = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    B = 2
+    bases_ascii = rng.choice(alphabet, (B, 6000), p=[0.24, 0.24, 0.24, 0.24, 0.04])
+    tokens = np.stack(
+        [sequence.tokenize_dna(bases_ascii[b].tobytes(), 4) for b in range(B)]
+    ).astype(np.int32)
+    base_codes = sequence._BASE_CODES[bases_ascii].astype(np.int32)
+    out_tokens = np.asarray(igloo.apply(prepared, jnp.asarray(tokens)))
+    out_bases = np.asarray(igloo.apply_bases(prepared, jnp.asarray(base_codes)))
+    np.testing.assert_allclose(out_bases, out_tokens, rtol=1e-5, atol=1e-7)
+
+
+def test_embed_from_bases_matches_embed_conv(rng):
+    import jax.numpy as jnp
+
+    from genomad_tpu import sequence
+
+    params = igloo.init_params(seed=5)
+    prepared = igloo.prepare_params(params, compute_dtype=jnp.float32)
+    alphabet = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    bases_ascii = rng.choice(alphabet, (1, 200), p=[0.23, 0.23, 0.23, 0.23, 0.08])
+    tokens = sequence.tokenize_dna(bases_ascii[0].tobytes(), 4)[None].astype(np.int32)
+    base_codes = sequence._BASE_CODES[bases_ascii].astype(np.int32)
+    ref = np.asarray(
+        igloo._causal_embed_conv(
+            jnp.asarray(tokens), prepared["conv1"]["kernel"], prepared["conv1"]["bias"]
+        )
+    )
+    got = np.asarray(
+        igloo._embed_from_bases(
+            jnp.asarray(base_codes),
+            prepared["base_tables"],
+            prepared["conv1"]["kernel"],
+            prepared["conv1"]["bias"],
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

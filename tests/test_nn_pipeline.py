@@ -21,20 +21,20 @@ def test_encode_windows_semantics(tmp_fasta, rng):
             ("short", "ACGT" * 300),  # 1200 bp -> single forced window
         ]
     )
-    tokens, names, ids = nn_pipeline.encode_windows(path)
+    bases, names, ids = nn_pipeline.encode_windows(path)
     assert names.tolist() == ["long", "gappy", "short"]
     assert ids.tolist() == [0, 0, 1, 1, 2]
-    assert tokens.shape == (5, igloo.WINDOW_TOKENS)
-    # the short contig's window is N-padded -> trailing tokens 0
-    assert (tokens[4, 1200:] == 0).all()
-    assert (tokens[4, :1197] > 0).all()
+    assert bases.shape == (5, nn_pipeline.WINDOW_LENGTH)
+    # the short contig's window is N-padded -> trailing base code 4
+    assert (bases[4, 1200:] == 4).all()
+    assert (bases[4, :1200] < 4).all()
 
 
 def test_encode_windows_single_window(tmp_fasta, rng):
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     path = tmp_fasta([("long", bytes(rng.choice(bases, 14_000)).decode())])
-    tokens, names, ids = nn_pipeline.encode_windows(path, single_window=True)
-    assert tokens.shape[0] == 1
+    bases, names, ids = nn_pipeline.encode_windows(path, single_window=True)
+    assert bases.shape[0] == 1
 
 
 def test_segment_mean():
@@ -46,14 +46,14 @@ def test_segment_mean():
 
 def test_predict_windows_padding_and_sharding(rng):
     params = igloo.init_params(seed=0)
-    forward = igloo.make_forward(params, compute_dtype=np.float32)
-    tokens = rng.integers(0, 257, size=(5, igloo.WINDOW_TOKENS)).astype(np.int32)
+    forward = igloo.make_forward_bases(params, compute_dtype=np.float32)
+    bases = rng.integers(0, 5, size=(5, nn_pipeline.WINDOW_LENGTH)).astype(np.uint8)
     # batch smaller than total and not a divisor -> padding path
-    out = nn_pipeline.predict_windows(forward, tokens, batch_size=4)
+    out = nn_pipeline.predict_windows(forward, bases, batch_size=4)
     assert out.shape == (5, 3)
     # sharded over the virtual CPU mesh must match unsharded
     mesh = meshlib.make_mesh()
-    out_sharded = nn_pipeline.predict_windows(forward, tokens, batch_size=4, mesh=mesh)
+    out_sharded = nn_pipeline.predict_windows(forward, bases, batch_size=4, mesh=mesh)
     np.testing.assert_allclose(out, out_sharded, rtol=1e-5, atol=1e-6)
 
 
