@@ -102,10 +102,12 @@ def predict_windows(
         batch = windows[i * batch_size : (i + 1) * batch_size]
         if sharding is not None:
             batch = jax.device_put(batch, sharding)
-        outputs.append(np.asarray(forward(batch), dtype=np.float32))
+        # keep results on device: dispatch stays async so host encoding/
+        # upload of batch i+1 overlaps device compute of batch i
+        outputs.append(forward(batch))
         if progress is not None:
             progress(i + 1, n_batches)
-    return np.concatenate(outputs)[:n]
+    return np.concatenate([np.asarray(o, dtype=np.float32) for o in outputs])[:n]
 
 
 def segment_mean(window_preds: np.ndarray, contig_ids: np.ndarray, n_contigs: int) -> np.ndarray:
