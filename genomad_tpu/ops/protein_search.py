@@ -356,20 +356,40 @@ def search(
 
     for qb_i in np.unique(qb):
         all_q = get_padded_queries(qb_i)
+        all_q_dev = jnp.asarray(all_q)  # staged once per query bucket
         for pb_i in np.unique(pb[qb == qb_i]):
             sel = np.where((qb == qb_i) & (pb == pb_i))[0]
             p_ids, all_p = get_padded_profiles(pb_i)
+            # profiles staged once per bucket (21-wide: pad/unknown column)
+            all_p21_dev = jnp.asarray(
+                np.concatenate(
+                    [all_p, np.zeros((*all_p.shape[:2], 1), np.float32)], axis=2
+                )
+            )
             for chunk_start in range(0, len(sel), batch_size):
                 chunk = sel[chunk_start : chunk_start + batch_size]
-                q_batch = all_q[pairs_q[chunk]]
-                p_batch = all_p[np.searchsorted(p_ids, pairs_p[chunk])]
-                fwd = sw_align(q_batch, p_batch, compute_starts=False)
+                n_chunk = len(chunk)
+                q_remap = pairs_q[chunk]
+                p_remap = np.searchsorted(p_ids, pairs_p[chunk])
+                # pad the index vectors to the full batch size so every
+                # chunk shares one compiled program per bucket shape
+                pad = batch_size - n_chunk
+                q_idx = np.pad(q_remap, (0, pad))
+                p_idx = np.pad(p_remap, (0, pad))
+                # device-side operand assembly: gather rows by index instead
+                # of re-uploading padded operands for every chunk
+                q_dev = jnp.take(all_q_dev, jnp.asarray(q_idx), axis=0)
+                p_dev = jnp.take(all_p21_dev, jnp.asarray(p_idx), axis=0)
+                score, end_i, end_j = (np.asarray(x)[:n_chunk] for x in _sw_dispatch(q_dev, p_dev))
+                fwd = {"score": score, "end_i": end_i, "end_j": end_j}
                 # pass 1: E-value gate (align-mode 1 analog)
                 e_vals = evalue(fwd["score"], q_lengths[pairs_q[chunk]], db_positions)
                 accept = np.where(e_vals <= evalue_threshold)[0]
                 if not len(accept):
                     continue
                 # pass 2: start positions -> query coverage (align-mode 2)
+                q_batch = all_q[q_remap]
+                p_batch = all_p[p_remap]
                 fwd2 = sw_align(
                     q_batch[accept], p_batch[accept], compute_starts=True
                 )
