@@ -24,10 +24,18 @@ import optax
 from genomad_tpu.models import igloo
 
 
+# Derived/non-trainable top-level entries (recomputed from conv1 by
+# prepare_params; AdamW weight decay must never touch them).
+_DERIVED_KEYS = {"base_tables"}
+
+
 def partition_params(params: dict):
-    """Split into (trainable float leaves, static integer leaves)."""
+    """Split into (trainable float leaves, static/derived leaves)."""
     trainable, static = {}, {}
     for group, sub in params.items():
+        if group in _DERIVED_KEYS or sub is None:
+            static[group] = sub
+            continue
         for name, leaf in sub.items():
             leaf = jnp.asarray(leaf)
             target = static if jnp.issubdtype(leaf.dtype, jnp.integer) else trainable
@@ -38,7 +46,10 @@ def partition_params(params: dict):
 def merge_params(trainable: dict, static: dict) -> dict:
     merged = {g: dict(sub) for g, sub in trainable.items()}
     for group, sub in static.items():
-        merged.setdefault(group, {}).update(sub)
+        if group in _DERIVED_KEYS or not isinstance(sub, dict):
+            merged[group] = sub
+        else:
+            merged.setdefault(group, {}).update(sub)
     return merged
 
 
