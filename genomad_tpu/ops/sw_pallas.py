@@ -86,9 +86,9 @@ def _sw_kernel(q_ref, p_ref, best_ref, iend_ref, jend_ref, s_scratch):
         jnp.zeros(TB, jnp.int32),
     )
     _, _, best, best_i, best_j = jax.lax.fori_loop(0, Lq, row_step, init)
-    best_ref[:] = best
-    iend_ref[:] = best_i
-    jend_ref[:] = best_j
+    best_ref[:, 0] = best
+    iend_ref[:, 0] = best_i
+    jend_ref[:, 0] = best_j
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
@@ -116,19 +116,19 @@ def sw_forward_pallas(queries: jnp.ndarray, profiles: jnp.ndarray, tile_b: int =
             pl.BlockSpec((tile_b, Lp, 21), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tile_b,), lambda i: (i,)),
-            pl.BlockSpec((tile_b,), lambda i: (i,)),
-            pl.BlockSpec((tile_b,), lambda i: (i,)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((queries.shape[0],), jnp.float32),
-            jax.ShapeDtypeStruct((queries.shape[0],), jnp.int32),
-            jax.ShapeDtypeStruct((queries.shape[0],), jnp.int32),
+            jax.ShapeDtypeStruct((queries.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((queries.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((queries.shape[0], 1), jnp.int32),
         ],
         scratch_shapes=[_vmem_scratch((tile_b, Lq, Lp))],
         interpret=interpret,
     )(queries, profiles)
-    return best[:B], end_i[:B], end_j[:B]
+    return best[:B, 0], end_i[:B, 0], end_j[:B, 0]
 
 
 def _vmem_scratch(shape):
