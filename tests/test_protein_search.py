@@ -162,3 +162,20 @@ def test_evalue_bitscore_monotonicity():
     assert (np.diff(bits) > 0).all()
     evs = protein_search.evalue(scores, 300, 1_000_000)
     assert (np.diff(evs) < 0).all()
+
+
+def test_search_batch_size_invariance():
+    """Results must be identical for any SW batch size (bucketing/padding
+    must not affect scores)."""
+    db = ProfileDB.synthetic(seed=33, n_profiles=100, min_len=60, max_len=200)
+    rng = np.random.default_rng(3)
+    names, seqs = [], []
+    for qi, target in enumerate((10, 55, 80, 99)):
+        seq = db.consensus(target).copy()
+        pos = rng.choice(len(seq), len(seq) // 12, replace=False)
+        seq[pos] = rng.integers(0, N_AA, len(pos))
+        names.append(f"q{qi}")
+        seqs.append("".join(ALPHABET[r] for r in seq))
+    a = protein_search.search(names, seqs, db, batch_size=512)
+    b = protein_search.search(names, seqs, db, batch_size=3)
+    assert a == b
