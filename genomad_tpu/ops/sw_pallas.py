@@ -49,14 +49,18 @@ def _sw_kernel(q_ref, p_ref, best_ref, iend_ref, jend_ref, s_scratch):
     """
     TB, Lq = q_ref.shape
     Lp = p_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.float32, (TB, Lp), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TB, Lp), 1).astype(jnp.float32)
 
     # Stage 1: per-pair score matrix via MXU dot of one-hot(query) x PSSM.
     for b in range(TB):
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (Lq, 21), 1) == q_ref[b, :][:, None]
         ).astype(jnp.float32)
-        s_scratch[b] = jnp.dot(onehot, p_ref[b].T, preferred_element_type=jnp.float32)
+        s_scratch[b] = jax.lax.dot_general(
+            onehot, p_ref[b],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     # Stage 2: row-scan DP.
     def row_step(i, carry):
