@@ -51,6 +51,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from genomad_tpu import xla_cache  # noqa: F401  (persistent compile cache)
+
 # Architecture constants (genomad/neural_network/model.py:15-27)
 WINDOW_TOKENS = 5_997
 VOCAB = 257

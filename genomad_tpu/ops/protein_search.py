@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from genomad_tpu import xla_cache  # noqa: F401  (persistent compile cache)
+
 from genomad_tpu.ops import profiledb
 from genomad_tpu.ops.profiledb import KMER_K, N_AA, ProfileDB, encode_kmers
 
@@ -118,6 +120,48 @@ def _sw_dispatch(queries: jnp.ndarray, prof21: jnp.ndarray):
     return _sw_forward(queries, prof21)
 
 
+@jax.jit
+def _sw_pair_stats(all_q: jnp.ndarray, all_p21: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """One-dispatch SW statistics for a batch of (query, profile) pairs.
+
+    Operand assembly, the forward pass, the alignment-start reversal, and
+    the reverse pass all happen on device so a pair batch costs exactly one
+    host->device transfer (the (2, N) index array) and one device->host
+    transfer (the (N, 5) result) — transfer round-trips, not compute,
+    dominate when the device is reached through a network tunnel.
+
+    all_q: (nq, Lq) staged padded queries; all_p21: (np, Lp, 21) staged
+    padded profiles; idx: (2, N) int32 rows into each.
+    Returns (N, 5) f32: score, end_i, end_j, start_i, start_j.
+    """
+    q = jnp.take(all_q, idx[0], axis=0)
+    p = jnp.take(all_p21, idx[1], axis=0)
+    best, end_i, end_j = _sw_dispatch(q, p)
+    # reverse the aligned prefixes in place on device: rev_q[b, t] =
+    # q[b, end_i[b] - t] (pad 20 past the end), same for profile rows
+    Lq, Lp = q.shape[1], p.shape[1]
+    tq = end_i[:, None] - jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    rev_q = jnp.where(tq >= 0, jnp.take_along_axis(q, jnp.maximum(tq, 0), axis=1), 20)
+    tp = end_j[:, None] - jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    rev_p = jnp.where(
+        (tp >= 0)[:, :, None],
+        jnp.take_along_axis(p, jnp.maximum(tp, 0)[:, :, None], axis=1),
+        0.0,
+    )
+    _, rev_i, rev_j = _sw_dispatch(rev_q, rev_p)
+    f32 = jnp.float32
+    return jnp.stack(
+        [
+            best,
+            end_i.astype(f32),
+            end_j.astype(f32),
+            (end_i - rev_i).astype(f32),
+            (end_j - rev_j).astype(f32),
+        ],
+        axis=1,
+    )
+
+
 def sw_align(queries: np.ndarray, profiles: np.ndarray, compute_starts: bool = False):
     """Forward (and optionally reverse) SW over a padded batch.
 
@@ -129,23 +173,41 @@ def sw_align(queries: np.ndarray, profiles: np.ndarray, compute_starts: bool = F
     """
     queries = np.asarray(queries, np.int32)
     profiles = np.asarray(profiles, np.float32)
+    # pad the batch axis to a power-of-two bucket: a data-dependent batch
+    # size (e.g. the accept count of the E-value gate) would otherwise
+    # trigger a fresh XLA compile for nearly every call
+    n_real = queries.shape[0]
+    n_pad = max(8, 1 << (n_real - 1).bit_length()) - n_real if n_real else 0
+    if n_pad:
+        queries = np.concatenate(
+            [queries, np.full((n_pad, queries.shape[1]), 20, np.int32)]
+        )
+        profiles = np.concatenate(
+            [profiles, np.zeros((n_pad, *profiles.shape[1:]), np.float32)]
+        )
     prof21 = np.concatenate(
         [profiles, np.zeros((*profiles.shape[:2], 1), np.float32)], axis=2
     )
-    best, end_i, end_j = (np.asarray(x) for x in _sw_dispatch(jnp.asarray(queries), jnp.asarray(prof21)))
-    out = {"score": best, "end_i": end_i, "end_j": end_j}
+    best, end_i, end_j = (
+        np.asarray(x)
+        for x in _sw_dispatch(jnp.asarray(queries), jnp.asarray(prof21))
+    )
+    out = {"score": best[:n_real], "end_i": end_i[:n_real], "end_j": end_j[:n_real]}
     if compute_starts:
-        B, Lq = queries.shape
-        Lp = profiles.shape[1]
+        # reverse pass stays at the padded batch size (same compiled program)
+        B = queries.shape[0]
         rev_q = np.full_like(queries, 20)
         rev_p = np.zeros_like(prof21)
-        for b in range(B):
+        for b in range(n_real):
             ie, je = end_i[b], end_j[b]
             rev_q[b, : ie + 1] = queries[b, : ie + 1][::-1]
             rev_p[b, : je + 1] = prof21[b, : je + 1][::-1]
-        rbest, rei, rej = (np.asarray(x) for x in _sw_dispatch(jnp.asarray(rev_q), jnp.asarray(rev_p)))
-        out["start_i"] = end_i - rei
-        out["start_j"] = end_j - rej
+        rbest, rei, rej = (
+            np.asarray(x)[:n_real]
+            for x in _sw_dispatch(jnp.asarray(rev_q), jnp.asarray(rev_p))
+        )
+        out["start_i"] = out["end_i"] - rei
+        out["start_j"] = out["end_j"] - rej
         out["score_rev"] = rbest  # == score (sanity invariant)
     return out
 
@@ -317,103 +379,114 @@ def search(
     pairs_p = np.asarray(pairs_p, np.int64)
 
     # ---- stage 2: batched SW over (query-bucket x profile-bucket) ----
+    # All pair batches are dispatched asynchronously (one small index upload
+    # per batch, all compute + operand assembly on device) and fetched in a
+    # single sync pass at the end; the E-value (align-mode-1) and coverage
+    # (align-mode-2) gates then run vectorized on the host. Computing
+    # alignment starts for every pair instead of only E-value survivors is
+    # extra device compute but removes a transfer round-trip per chunk —
+    # the dominant cost — and changes no results.
     q_lengths = np.array([len(r) for r in residues_list], np.int64)
-    best_hits: dict[int, tuple] = {}
 
-    def bucket_bound(lengths, bounds=(64, 128, 256, 512, 1024, 4096, 65536)):
+    bounds = (64, 128, 256, 512, 1024, 4096, 65536)
+
+    def bucket_bound(lengths):
         return np.searchsorted(np.asarray(bounds), lengths, side="left")
 
     qb = bucket_bound(q_lengths[pairs_q])
     pb = bucket_bound(db.lengths[pairs_p])
-    bounds = (64, 128, 256, 512, 1024, 4096, 65536)
-    # Padded operand caches: queries padded once per q-bucket; profiles
-    # padded once per p-bucket (batch assembly is then fancy indexing).
+    # Padded operand caches. Every staged array dimension is padded to a
+    # power of two so the compiled program set is small, stable across runs,
+    # and served by the persistent compilation cache — a data-dependent
+    # dimension (hit-profile count, query count) would recompile the SW
+    # program on nearly every call.
     padded_queries: dict[int, np.ndarray] = {}
-    padded_profiles: dict[int, np.ndarray] = {}
+
+    def _pow2(n: int, floor: int = 128) -> int:
+        return max(floor, 1 << (max(n, 1) - 1).bit_length())
 
     def get_padded_queries(qb_i):
         if qb_i not in padded_queries:
             Lq = bounds[qb_i]
-            arr = np.full((len(residues_list), Lq), 20, np.int32)
+            arr = np.full((_pow2(len(residues_list)), Lq), 20, np.int32)
             for i, r in enumerate(residues_list):
                 if len(r) <= Lq:
                     arr[i, : len(r)] = r
             padded_queries[qb_i] = arr
         return padded_queries[qb_i]
 
-    def get_padded_profiles(pb_i):
-        """Compact padded tensor over the profiles actually hit in this
-        bucket (ids sorted; lookups via searchsorted remap)."""
-        if pb_i not in padded_profiles:
+    def get_staged_profiles(pb_i):
+        """Device-resident padded tensor of ALL profiles in this length
+        class (ids sorted; lookups via searchsorted remap), with the 21st
+        pad/unknown column appended. Cached on the DB object: the profile
+        database uploads to HBM once per process, not once per search —
+        this is the device-resident replacement for MMseqs2's target-DB
+        memory-mapping (genomad/mmseqs2.py:83-95)."""
+        cache = db.__dict__.setdefault("_device_buckets", {})
+        if pb_i not in cache:
             Lp = bounds[pb_i]
-            ids = np.unique(pairs_p[pb == pb_i])
-            arr = np.zeros((len(ids), Lp, N_AA), np.float32)
-            for i, pid in enumerate(ids):
-                prof = db.profile(pid)
-                arr[i, : len(prof)] = prof
-            padded_profiles[pb_i] = (ids, arr)
-        return padded_profiles[pb_i]
+            ids = np.where(bucket_bound(db.lengths) == pb_i)[0]
+            lens = db.lengths[ids].astype(np.int64)
+            rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
+            mask = np.arange(Lp)[None, :] < lens[:, None]
+            arr = np.zeros((_pow2(len(ids)), Lp, N_AA + 1), np.float32)
+            arr[: len(ids), :, :N_AA] = np.where(
+                mask[:, :, None], db.pssm[np.minimum(rows, db.offsets[-1] - 1)], 0.0
+            )
+            cache[pb_i] = (ids, jnp.asarray(arr))
+        return cache[pb_i]
 
+    pending = []  # (pair_indices, device stats array)
+    max_chunk = max(batch_size, 8192)
     for qb_i in np.unique(qb):
-        all_q = get_padded_queries(qb_i)
-        all_q_dev = jnp.asarray(all_q)  # staged once per query bucket
+        all_q_dev = jnp.asarray(get_padded_queries(qb_i))  # staged per bucket
         for pb_i in np.unique(pb[qb == qb_i]):
             sel = np.where((qb == qb_i) & (pb == pb_i))[0]
-            p_ids, all_p = get_padded_profiles(pb_i)
-            # profiles staged once per bucket (21-wide: pad/unknown column)
-            all_p21_dev = jnp.asarray(
-                np.concatenate(
-                    [all_p, np.zeros((*all_p.shape[:2], 1), np.float32)], axis=2
-                )
-            )
-            for chunk_start in range(0, len(sel), batch_size):
-                chunk = sel[chunk_start : chunk_start + batch_size]
-                n_chunk = len(chunk)
-                q_remap = pairs_q[chunk]
-                p_remap = np.searchsorted(p_ids, pairs_p[chunk])
-                # pad the index vectors to the full batch size so every
-                # chunk shares one compiled program per bucket shape
-                pad = batch_size - n_chunk
-                q_idx = np.pad(q_remap, (0, pad))
-                p_idx = np.pad(p_remap, (0, pad))
-                # device-side operand assembly: gather rows by index instead
-                # of re-uploading padded operands for every chunk
-                q_dev = jnp.take(all_q_dev, jnp.asarray(q_idx), axis=0)
-                p_dev = jnp.take(all_p21_dev, jnp.asarray(p_idx), axis=0)
-                score, end_i, end_j = (np.asarray(x)[:n_chunk] for x in _sw_dispatch(q_dev, p_dev))
-                fwd = {"score": score, "end_i": end_i, "end_j": end_j}
-                # pass 1: E-value gate (align-mode 1 analog)
-                e_vals = evalue(fwd["score"], q_lengths[pairs_q[chunk]], db_positions)
-                accept = np.where(e_vals <= evalue_threshold)[0]
-                if not len(accept):
-                    continue
-                # pass 2: start positions -> query coverage (align-mode 2)
-                q_batch = all_q[q_remap]
-                p_batch = all_p[p_remap]
-                fwd2 = sw_align(
-                    q_batch[accept], p_batch[accept], compute_starts=True
-                )
-                qcov = (fwd2["end_i"] - fwd2["start_i"] + 1) / q_lengths[pairs_q[chunk[accept]]]
-                for k, bi in enumerate(accept):
-                    if qcov[k] < min_qcov:
-                        continue
-                    pair_i = chunk[bi]
-                    qi, pi = int(pairs_q[pair_i]), int(pairs_p[pair_i])
-                    score = float(fwd["score"][bi])
-                    bits = float(bitscore(score))
-                    ev = float(e_vals[bi])
-                    key = (bits, -pi)
-                    if qi not in best_hits or key > (best_hits[qi][0], -best_hits[qi][1]):
-                        best_hits[qi] = (bits, pi, ev, float(qcov[k]))
+            p_ids, all_p21_dev = get_staged_profiles(pb_i)
+            for chunk_start in range(0, len(sel), max_chunk):
+                chunk = sel[chunk_start : chunk_start + max_chunk]
+                # pad the pair count to a power of two so compiled program
+                # shapes stay few and reusable across runs
+                n_pad = max(256, 1 << (len(chunk) - 1).bit_length())
+                idx = np.zeros((2, n_pad), np.int32)
+                idx[0, : len(chunk)] = pairs_q[chunk]
+                idx[1, : len(chunk)] = np.searchsorted(p_ids, pairs_p[chunk])
+                stats_dev = _sw_pair_stats(all_q_dev, all_p21_dev, jnp.asarray(idx))
+                pending.append((chunk, stats_dev))
 
+    # single sync pass + vectorized filters
+    all_pairs, all_bits, all_ev = [], [], []
+    for chunk, stats_dev in pending:
+        stats = np.asarray(stats_dev)[: len(chunk)]
+        score, end_i, start_i = stats[:, 0], stats[:, 1], stats[:, 3]
+        e_vals = evalue(score, q_lengths[pairs_q[chunk]], db_positions)
+        qcov = (end_i - start_i + 1) / q_lengths[pairs_q[chunk]]
+        keep = (e_vals <= evalue_threshold) & (qcov >= min_qcov)
+        all_pairs.append(chunk[keep])
+        all_bits.append(bitscore(score[keep]))
+        all_ev.append(e_vals[keep])
+
+    pair_idx = np.concatenate(all_pairs) if all_pairs else np.zeros(0, np.int64)
+    if not len(pair_idx):
+        return {}
+    bits_arr = np.concatenate(all_bits)
+    ev_arr = np.concatenate(all_ev)
+    q_arr = pairs_q[pair_idx]
+    p_arr = pairs_p[pair_idx]
+    # best hit per query: highest bitscore, ties -> smallest profile id
+    # (deterministic and shard-count-invariant)
+    order = np.lexsort((p_arr, -bits_arr, q_arr))
+    q_sorted = q_arr[order]
+    first = np.concatenate([[True], q_sorted[1:] != q_sorted[:-1]])
+    best = order[first]
     return {
-        query_names[qi]: (
-            str(db.names[pi]),
-            ev,
-            int(round(bits)),
-            int(db.taxids[pi]) if db.taxids[pi] > 0 else 1,
+        query_names[int(q_arr[i])]: (
+            str(db.names[p_arr[i]]),
+            float(ev_arr[i]),
+            int(round(bits_arr[i])),
+            int(db.taxids[p_arr[i]]) if db.taxids[p_arr[i]] > 0 else 1,
         )
-        for qi, (bits, pi, ev, _) in best_hits.items()
+        for i in best
     }
 
 
