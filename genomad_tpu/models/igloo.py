@@ -62,6 +62,10 @@ N_PATCHES = 2_100
 PATCH_SIZE = 4
 POOL = 8
 POOLED_LEN = WINDOW_TOKENS // POOL  # 749 (keras MaxPool1D 'valid')
+# The trunk runs at a 128-multiple padded length so the Pallas patch
+# reduction can tile it; positions >= WINDOW_TOKENS are masked out of every
+# consumer (patch slots never reference them, the value path is sliced).
+L_PAD = 6_016
 ENC_DIM = 512
 N_CLASSES = 3
 BN_EPS = 1e-3  # keras BatchNormalization default epsilon
@@ -202,13 +206,34 @@ def prepare_params(params: Params, compute_dtype=jnp.bfloat16) -> Params:
         if conv1.shape[0] == CONV_KERNEL and conv1.shape[1] == VOCAB
         else None
     )
+
+    def patch_plan(p):
+        """Static tiling plan for the Pallas patch reduction (full-size
+        models only; tiny test models fall back to the gather path)."""
+        patches = np.asarray(p["patches"])
+        if patches.shape != (N_PATCHES, PATCH_SIZE) or patches.max() >= WINDOW_TOKENS:
+            return None
+        from genomad_tpu.ops import patch_reduce
+
+        w_patch = np.asarray(p["w_mult"], np.float32) * np.asarray(
+            p["w_summer"], np.float32
+        ).reshape(PATCH_SIZE, -1)[None, :, :]
+        plan = patch_reduce.build_plan(patches, w_patch, L_PAD)
+        return {
+            "w_tiles": jnp.asarray(plan.w_tiles, jnp.float32),
+            "onehot": jnp.asarray(plan.onehot, jnp.float32),
+            "idx": jnp.asarray(plan.idx, jnp.int32),
+        }
+
     return {
         "conv1": cast(params["conv1"]),
         "base_tables": base_tables,
         "igloo1": fold_igloo(params["igloo1"]),
+        "igloo1_plan": patch_plan(params["igloo1"]),
         "conv2": cast(params["conv2"]),
         "conv3": cast(params["conv3"]),
         "igloo2": fold_igloo(params["igloo2"]),
+        "igloo2_plan": patch_plan(params["igloo2"]),
         "enc_dense": cast(params["enc_dense"]),
         "enc_bn": fold_bn(params["enc_bn"]),
         "head_dense": cast(params["head_dense"]),
@@ -273,21 +298,33 @@ def _causal_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.
     )
 
 
-def _igloo_kernel(y: jnp.ndarray, p: Params) -> jnp.ndarray:
+def _igloo_kernel(y: jnp.ndarray, p: Params, plan: Params | None = None) -> jnp.ndarray:
     """IGLOO patch-attention kernel (reference: igloo.py:190-217).
 
-    y: (B, L, C) feature map -> (B, C) pooled representation.
+    y: (B, L, C) feature map -> (B, C) pooled representation. L may be the
+    padded trunk length L_PAD; everything past WINDOW_TOKENS is ignored.
     """
-    # Patch gather + reduction: (B, P, S, C) * (P, S, C) summed -> (B, P)
-    gathered = jnp.take(y, p["patches"], axis=1)  # (B, P, S, C)
-    mpi = jnp.einsum("bpsc,psc->bp", gathered, p["w_patch"], preferred_element_type=jnp.float32)
+    from genomad_tpu.ops import patch_reduce
+
+    real_len = min(y.shape[1], WINDOW_TOKENS)
+    if plan is not None and y.shape[1] == L_PAD and patch_reduce.enabled():
+        # MXU tile-matmul + mask-reduce instead of a gather (see patch_reduce)
+        mpi = patch_reduce.patch_reduce(y, plan["w_tiles"], plan["onehot"], plan["idx"])
+    else:
+        # Patch gather + reduction: (B, P, S, C) * (P, S, C) summed -> (B, P)
+        gathered = jnp.take(y, p["patches"], axis=1)  # (B, P, S, C)
+        mpi = jnp.einsum("bpsc,psc->bp", gathered, p["w_patch"], preferred_element_type=jnp.float32)
     mpi = mpi.astype(y.dtype) + p["w_bias"]
-    # Value projection + max-pool by 8 ('valid': trailing remainder dropped)
+    # Value projection + max-pool by 8 ('valid': trailing remainder dropped).
+    # Project/pool over the full (possibly padded) length and slice the 8x
+    # smaller pooled tensor — slicing y itself would copy the whole feature
+    # map before the matmul.
     y_proj = jnp.einsum("blc,cd->bld", y, p["w_v"], preferred_element_type=jnp.float32).astype(y.dtype)
-    pooled_len = y.shape[1] // POOL
+    pooled_len = real_len // POOL
+    full_windows = y.shape[1] // POOL
     pooled = jnp.max(
-        y_proj[:, : pooled_len * POOL].reshape(y.shape[0], pooled_len, POOL, -1), axis=2
-    )
+        y_proj[:, : full_windows * POOL].reshape(y.shape[0], full_windows, POOL, -1), axis=2
+    )[:, :pooled_len]
     # Attention of the patch-logit vector over pooled positions
     alpha = jax.nn.softmax(
         jnp.einsum("bp,pl->bl", mpi, p["w_qk"], preferred_element_type=jnp.float32), axis=-1
@@ -367,10 +404,10 @@ def _embed_onehot_conv(tokens: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarr
 
 
 def _forward_from_h1(p: Params, h1: jnp.ndarray) -> jnp.ndarray:
-    a = _igloo_kernel(h1, p["igloo1"])
+    a = _igloo_kernel(h1, p["igloo1"], p.get("igloo1_plan"))
     h2 = _leaky_relu(_causal_conv(h1, p["conv2"]["kernel"], p["conv2"]["bias"]))
     h3 = _leaky_relu(_causal_conv(h2, p["conv3"]["kernel"], p["conv3"]["bias"]))
-    b = _igloo_kernel(h3, p["igloo2"])
+    b = _igloo_kernel(h3, p["igloo2"], p.get("igloo2_plan"))
     feat = jnp.concatenate([a, b], axis=-1)
     enc = jax.nn.relu(_bn(feat @ p["enc_dense"]["kernel"] + p["enc_dense"]["bias"], p["enc_bn"]))
     hid = jax.nn.relu(_bn(enc @ p["head_dense"]["kernel"] + p["head_dense"]["bias"], p["head_bn"]))
@@ -392,8 +429,12 @@ def apply_bases(params: Params, bases: jnp.ndarray) -> jnp.ndarray:
     """Fast inference path from base codes: (B, 6000) int in [0, 4]
     (ACGT=0..3, N=4) -> (B, 3) class probs. Equal (to accumulation
     rounding) to ``apply(params, tokenize(bases))``: tokenizes on device
-    and runs the first layer as a one-hot MXU conv."""
+    and runs the first layer as a one-hot MXU conv, with the trunk padded
+    to L_PAD so the Pallas patch reduction can tile it."""
     p = params
+    # pad with N codes: padded token positions are masked out of every
+    # consumer and, being causal, never influence real positions
+    bases = jnp.pad(bases, ((0, 0), (0, L_PAD + 3 - bases.shape[1])), constant_values=4)
     h1 = _leaky_relu(
         _embed_onehot_conv(_tokens_from_bases(bases), p["conv1"]["kernel"], p["conv1"]["bias"])
     )

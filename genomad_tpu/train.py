@@ -26,7 +26,7 @@ from genomad_tpu.models import igloo
 
 # Derived/non-trainable top-level entries (recomputed from conv1 by
 # prepare_params; AdamW weight decay must never touch them).
-_DERIVED_KEYS = {"base_tables"}
+_DERIVED_KEYS = {"base_tables", "igloo1_plan", "igloo2_plan"}
 
 
 def partition_params(params: dict):
