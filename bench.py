@@ -36,13 +36,13 @@ def main():
     forward = igloo.make_forward_bases(params, compute_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    batch_size = 512
+    batch_size = 2048
     tokens = rng.integers(0, 4, (batch_size, 6000)).astype(np.int32)
     tokens_dev = jax.device_put(tokens)
     # compile + warmup (np.asarray forces completion — block_until_ready is
     # not reliable on the axon platform)
     np.asarray(forward(tokens_dev))
-    n_iters = 8
+    n_iters = 6
     start = time.perf_counter()
     for _ in range(n_iters):
         out = forward(tokens_dev)
