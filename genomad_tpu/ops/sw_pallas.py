@@ -14,8 +14,14 @@ Kernel strategy (one grid program per batch tile of pairs):
   3. Best score and its (row, column) argmax are tracked in VMEM scratch.
 
 The kernel matches genomad_tpu.ops.protein_search._sw_forward bit-for-bit
-in f32 and is selected by protein_search.sw_align when running on TPU
-(interpret mode is used for CPU tests).
+in f32 on real TPU hardware (interpret mode is used for CPU tests).
+
+Measured on v5e it is NOT the production path: XLA compiles the lax.scan
+kernel to full-batch (B, Lp) vector work per DP row, while this kernel is
+bounded to small batch tiles by its VMEM score scratch (TB=8: ~4x slower;
+TB=16: ~2x slower; TB>=32: VMEM OOM at Lq=Lp=256). It is kept as a
+parity-tested alternative (GENOMAD_TPU_USE_PALLAS=1) and as the
+starting point for a future flash-style tiled-DP variant.
 """
 
 from __future__ import annotations
@@ -60,11 +66,25 @@ def _sw_kernel(q_ref, p_ref, best_ref, iend_ref, jend_ref, s_scratch):
             onehot, p_ref[b],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # full-f32 MXU passes: the one-hot dot must reproduce the PSSM
+            # entries bit-exactly for parity with the gather-based kernel
+            precision=jax.lax.Precision.HIGHEST,
         )
 
-    # Stage 2: row-scan DP.
+    # Stage 2: row-scan DP. Mosaic lowering constraints on real hardware
+    # (this jaxlib) shape this loop:
+    #   * a fori_loop with TWO (TB, Lp) carries miscompiles ("invalid
+    #     relayout ... replicated in destination") -> H and F are packed
+    #     into ONE (TB, 2*Lp) carry and lane-sliced inside the step;
+    #   * argmax has no working lowering -> first-index argmax via
+    #     iota + where + min;
+    #   * all loop state stays 2-D ((TB, x) / (TB, 1)); 1-D vectors trip
+    #     the same relayout error.
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (TB, Lp), 1)
+
     def row_step(i, carry):
-        h_prev, f_prev, best, best_i, best_j = carry
+        hf, best, best_i, best_j = carry
+        h_prev, f_prev = hf[:, :Lp], hf[:, Lp:]
         s_row = s_scratch[:, i, :]  # (TB, Lp)
         f = jnp.maximum(h_prev - GAP_OPEN, f_prev - GAP_EXTEND)
         diag = jnp.pad(h_prev[:, :-1], ((0, 0), (1, 0)))
@@ -74,25 +94,29 @@ def _sw_kernel(q_ref, p_ref, best_ref, iend_ref, jend_ref, s_scratch):
         m = jnp.pad(m[:, :-1], ((0, 0), (1, 0)), constant_values=NEG_INF)
         e = m - GAP_EXTEND * (col - 1.0)
         h = jnp.maximum(h0, e)
-        row_best = jnp.max(h, axis=1)
-        row_arg = jnp.argmax(h, axis=1).astype(jnp.int32)
+        row_best = jnp.max(h, axis=1, keepdims=True)  # (TB, 1)
+        row_arg = jnp.min(
+            jnp.where(h == row_best, col_i, Lp), axis=1, keepdims=True
+        )
         improved = row_best > best
         best = jnp.where(improved, row_best, best)
         best_i = jnp.where(improved, i, best_i)
         best_j = jnp.where(improved, row_arg, best_j)
-        return h, f, best, best_i, best_j
+        return jnp.concatenate([h, f], axis=1), best, best_i, best_j
 
     init = (
-        jnp.zeros((TB, Lp), jnp.float32),
-        jnp.full((TB, Lp), NEG_INF, jnp.float32),
-        jnp.zeros(TB, jnp.float32),
-        jnp.zeros(TB, jnp.int32),
-        jnp.zeros(TB, jnp.int32),
+        jnp.concatenate(
+            [jnp.zeros((TB, Lp), jnp.float32), jnp.full((TB, Lp), NEG_INF, jnp.float32)],
+            axis=1,
+        ),
+        jnp.zeros((TB, 1), jnp.float32),
+        jnp.zeros((TB, 1), jnp.int32),
+        jnp.zeros((TB, 1), jnp.int32),
     )
-    _, _, best, best_i, best_j = jax.lax.fori_loop(0, Lq, row_step, init)
-    best_ref[:, 0] = best
-    iend_ref[:, 0] = best_i
-    jend_ref[:, 0] = best_j
+    _, best, best_i, best_j = jax.lax.fori_loop(0, Lq, row_step, init)
+    best_ref[...] = best
+    iend_ref[...] = best_i
+    jend_ref[...] = best_j
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
