@@ -23,13 +23,20 @@ from genomad_tpu.ops.profiledb import ALPHABET, N_AA, ProfileDB  # noqa: E402
 def main(n_profiles: int = 20_000, n_queries: int = 500) -> None:
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    db = ProfileDB.synthetic(seed=1, n_profiles=n_profiles, min_len=60, max_len=400)
+    cache = Path(f"/tmp/genomad_tpu_bench_db_{n_profiles}.npz")
+    if cache.exists():
+        db = ProfileDB.load(cache)
+        src = f"loaded from {cache}"
+    else:
+        db = ProfileDB.synthetic(seed=1, n_profiles=n_profiles, min_len=60, max_len=400)
+        db.save(cache)
+        src = "built"
     print(f"DB: {db.n_profiles} profiles, {db.total_positions:,} positions "
-          f"({time.perf_counter() - t0:.1f}s to build)")
+          f"({src}, {time.perf_counter() - t0:.1f}s)", flush=True)
 
     t0 = time.perf_counter()
     db.kmer_index(1)
-    print(f"k-mer index: {time.perf_counter() - t0:.1f}s")
+    print(f"k-mer index: {time.perf_counter() - t0:.1f}s", flush=True)
 
     # queries: 60% mutated consensus sequences, 40% random noise
     names, seqs = [], []
@@ -49,9 +56,18 @@ def main(n_profiles: int = 20_000, n_queries: int = 500) -> None:
     hits = protein_search.search(names, seqs, db)
     elapsed = time.perf_counter() - t0
     print(
-        f"search: {elapsed:.2f}s -> {n_queries / elapsed:.1f} queries/s, "
-        f"{total_residues / elapsed / 1e3:.1f} kaa/s, {len(hits)} hits "
-        f"({len(hits) / (n_queries * 0.6) * 100:.0f}% of planted queries matched)"
+        f"search (cold: DB staging + compiles): {elapsed:.2f}s -> "
+        f"{n_queries / elapsed:.1f} queries/s, {len(hits)} hits "
+        f"({len(hits) / (n_queries * 0.6) * 100:.0f}% of planted queries matched)",
+        flush=True,
+    )
+    # steady state: DB resident in HBM, programs compiled
+    t0 = time.perf_counter()
+    hits = protein_search.search(names, seqs, db)
+    elapsed = time.perf_counter() - t0
+    print(
+        f"search (steady state): {elapsed:.2f}s -> {n_queries / elapsed:.1f} queries/s, "
+        f"{total_residues / elapsed / 1e3:.1f} kaa/s"
     )
 
 
