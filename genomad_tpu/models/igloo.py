@@ -307,24 +307,30 @@ def _igloo_kernel(y: jnp.ndarray, p: Params, plan: Params | None = None) -> jnp.
     from genomad_tpu.ops import patch_reduce
 
     real_len = min(y.shape[1], WINDOW_TOKENS)
+    pooled_len = real_len // POOL
     if plan is not None and y.shape[1] == L_PAD and patch_reduce.enabled():
-        # MXU tile-matmul + mask-reduce instead of a gather (see patch_reduce)
-        mpi = patch_reduce.patch_reduce(y, plan["w_tiles"], plan["onehot"], plan["idx"])
+        # Fused Pallas pass: patch reduction (MXU tile-matmul + mask-reduce)
+        # AND value-projection + max-pool in one read of y — the unfused
+        # graph round-trips a full (B, L, C) projection through HBM just to
+        # pool it 8x (see patch_reduce._kernel_fused).
+        mpi, pooled = patch_reduce.fused_reduce(
+            y, plan["w_tiles"], plan["onehot"], plan["idx"], p["w_v"]
+        )
+        pooled = pooled[:, :pooled_len]
     else:
         # Patch gather + reduction: (B, P, S, C) * (P, S, C) summed -> (B, P)
         gathered = jnp.take(y, p["patches"], axis=1)  # (B, P, S, C)
         mpi = jnp.einsum("bpsc,psc->bp", gathered, p["w_patch"], preferred_element_type=jnp.float32)
+        # Value projection + max-pool by 8 ('valid': trailing remainder
+        # dropped). Project/pool over the full (possibly padded) length and
+        # slice the 8x smaller pooled tensor — slicing y itself would copy
+        # the whole feature map before the matmul.
+        y_proj = jnp.einsum("blc,cd->bld", y, p["w_v"], preferred_element_type=jnp.float32).astype(y.dtype)
+        full_windows = y.shape[1] // POOL
+        pooled = jnp.max(
+            y_proj[:, : full_windows * POOL].reshape(y.shape[0], full_windows, POOL, -1), axis=2
+        )[:, :pooled_len]
     mpi = mpi.astype(y.dtype) + p["w_bias"]
-    # Value projection + max-pool by 8 ('valid': trailing remainder dropped).
-    # Project/pool over the full (possibly padded) length and slice the 8x
-    # smaller pooled tensor — slicing y itself would copy the whole feature
-    # map before the matmul.
-    y_proj = jnp.einsum("blc,cd->bld", y, p["w_v"], preferred_element_type=jnp.float32).astype(y.dtype)
-    pooled_len = real_len // POOL
-    full_windows = y.shape[1] // POOL
-    pooled = jnp.max(
-        y_proj[:, : full_windows * POOL].reshape(y.shape[0], full_windows, POOL, -1), axis=2
-    )[:, :pooled_len]
     # Attention of the patch-logit vector over pooled positions
     alpha = jax.nn.softmax(
         jnp.einsum("bp,pl->bl", mpi, p["w_qk"], preferred_element_type=jnp.float32), axis=-1

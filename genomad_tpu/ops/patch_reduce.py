@@ -81,14 +81,113 @@ def build_plan(patches: np.ndarray, w_patch: np.ndarray, l_pad: int) -> PatchPla
     return PatchPlan(w_tiles, onehot, idx.reshape(P, S), l_pad)
 
 
+POOL = 8
+
+
+def _kernel_fused(y_ref, w_ref, oh_ref, wv_ref, slot_ref, pool_ref):
+    """Patch reduction + value projection + POOLx max-pool in one pass.
+
+    Reads each (bb, TILE, C) feature-map block ONCE and produces both
+    IGLOO kernel operands, so the full-length value projection never
+    round-trips HBM (the unfused forward writes and re-reads a whole
+    (B, L, C) tensor just to max-pool it 8x — pure bandwidth waste).
+    TILE is a POOL multiple and tiles are aligned, so pooling windows
+    never cross block boundaries.
+    """
+    bb, tile, c = y_ref.shape
+    k = w_ref.shape[2]
+    # f32 inputs signal a parity run: force true-f32 MXU passes (the
+    # default multiplies f32 operands in bf16). bf16 production inputs
+    # are exact under f32 accumulation either way.
+    prec = jax.lax.Precision.HIGHEST if y_ref.dtype == jnp.float32 else None
+    y2 = y_ref[...].reshape(bb * tile, c)
+    m = jax.lax.dot_general(
+        y2,
+        w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).reshape(bb, tile, k)
+    slot_ref[0] = jnp.sum(m * oh_ref[0], axis=1)
+    v = jax.lax.dot_general(
+        y2,
+        wv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).reshape(bb, tile // POOL, POOL, c)
+    pool_ref[0] = jnp.max(v, axis=2).astype(pool_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_values(
+    y: jnp.ndarray,
+    w_tiles: jnp.ndarray,
+    onehot: jnp.ndarray,
+    w_v: jnp.ndarray,
+    interpret: bool = False,
+):
+    """(B, L_pad, C) -> ((B, T * K) f32 slot dots, (B, L_pad / POOL, C)
+    pooled value projection)."""
+    B = y.shape[0]
+    T, C, K = w_tiles.shape
+    bb = 64 if B % 64 == 0 else 8
+    pad = (-B) % bb
+    if pad:
+        y = jnp.pad(y, ((0, pad), (0, 0), (0, 0)))
+    slots, pooled = pl.pallas_call(
+        _kernel_fused,
+        grid=((B + pad) // bb, T),
+        in_specs=[
+            pl.BlockSpec((bb, TILE, C), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, C, K), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, TILE, K), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((C, C), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bb, K), lambda i, j: (j, i, 0)),
+            pl.BlockSpec((1, bb, TILE // POOL, C), lambda i, j: (j, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B + pad, K), jnp.float32),
+            jax.ShapeDtypeStruct((T, B + pad, TILE // POOL, C), y.dtype),
+        ],
+        interpret=interpret,
+    )(y, w_tiles.astype(y.dtype), onehot, w_v.astype(y.dtype))
+    slots = jnp.swapaxes(slots, 0, 1)[:B].reshape(B, T * K)
+    pooled = jnp.swapaxes(pooled, 0, 1)[:B].reshape(B, T * (TILE // POOL), C)
+    return slots, pooled
+
+
+def fused_reduce(
+    y: jnp.ndarray,
+    w_tiles: jnp.ndarray,
+    onehot: jnp.ndarray,
+    idx: jnp.ndarray,
+    w_v: jnp.ndarray,
+    interpret: bool | None = None,
+):
+    """(mpi (B, P) f32, pooled (B, L_pad / POOL, C)) for a padded feature
+    map y (B, L_pad, C). pooled rows past the real sequence's pooled
+    length are garbage (fed from padding) — callers must slice them off."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    g, pooled = _fused_values(y, w_tiles, onehot, w_v, interpret=interpret)
+    P, S = idx.shape
+    mpi = jnp.take(g, idx.reshape(-1), axis=1).reshape(y.shape[0], P, S).sum(-1)
+    return mpi, pooled
+
+
 def _kernel(y_ref, w_ref, oh_ref, out_ref):
     bb, tile, c = y_ref.shape
     k = w_ref.shape[2]
+    prec = jax.lax.Precision.HIGHEST if y_ref.dtype == jnp.float32 else None
     m = jax.lax.dot_general(
         y_ref[...].reshape(bb * tile, c),
         w_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     ).reshape(bb, tile, k)
     out_ref[0] = jnp.sum(m * oh_ref[0], axis=1)
 

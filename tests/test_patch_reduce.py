@@ -66,3 +66,25 @@ def test_forward_pallas_vs_gather_paths(rng):
     finally:
         os.environ.pop("GENOMAD_TPU_PATCH_PALLAS", None)
     np.testing.assert_allclose(out_pallas, out_gather, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_reduce_matches_unfused(rng, full_size_plan):
+    """fused_reduce returns the same mpi as patch_reduce AND the same
+    pooled value projection as the einsum + max-pool formulation."""
+    patches, w_patch, plan = full_size_plan
+    B = 2
+    y = rng.normal(size=(B, igloo.L_PAD, igloo.CHANNELS)).astype(np.float32)
+    w_v = rng.normal(size=(igloo.CHANNELS, igloo.CHANNELS)).astype(np.float32)
+    mpi, pooled = patch_reduce.fused_reduce(
+        jnp.asarray(y),
+        jnp.asarray(plan.w_tiles),
+        jnp.asarray(plan.onehot),
+        jnp.asarray(plan.idx),
+        jnp.asarray(w_v),
+        interpret=True,
+    )
+    ref_mpi = np.einsum("bpsc,psc->bp", y[:, patches], w_patch)
+    np.testing.assert_allclose(np.asarray(mpi), ref_mpi, rtol=1e-4, atol=1e-4)
+    proj = y @ w_v
+    ref_pooled = proj.reshape(B, igloo.L_PAD // patch_reduce.POOL, patch_reduce.POOL, -1).max(axis=2)
+    np.testing.assert_allclose(np.asarray(pooled), ref_pooled, rtol=1e-4, atol=1e-4)
