@@ -4,8 +4,11 @@ Times each component in isolation (jitted separately) to locate the
 bottleneck. Not a correctness tool; numbers are per batch.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -110,5 +113,23 @@ def main():
     )
 
 
+# appended: fused igloo kernel timing
+def extra():
+    params = igloo.init_params(seed=0)
+    prepared = igloo.prepare_params(params, jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    bases = jax.device_put(rng.integers(0, 4, (BATCH, 6000)).astype(np.int32))
+    padded = jnp.pad(bases, ((0, 0), (0, igloo.L_PAD + 3 - 6000)), constant_values=4)
+    tokens = jax.jit(igloo._tokens_from_bases)(padded)
+    h1 = jax.jit(lambda t: igloo._leaky_relu(igloo._embed_onehot_conv(t, prepared["conv1"]["kernel"], prepared["conv1"]["bias"])))(tokens)
+    timeit(
+        "igloo kernel (fused)",
+        reduced(lambda x: igloo._igloo_kernel(x, prepared["igloo1"], prepared["igloo1_plan"])),
+        h1,
+    )
+
+
 if __name__ == "__main__":
     main()
+    if len(sys.argv) > 2 and sys.argv[2] == "extra":
+        extra()
