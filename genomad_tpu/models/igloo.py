@@ -431,6 +431,16 @@ def apply(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
     return _forward_from_h1(p, h1)
 
 
+def _pad_bases(bases: jnp.ndarray) -> jnp.ndarray:
+    """Pad a (B, 6000) base-code batch with N codes out to L_PAD + 3.
+
+    Padded token positions are masked out of every consumer and, being
+    causal, never influence real positions. Profilers decomposing the
+    forward (tools/profile_stages.py) must use this same helper so their
+    stage inputs match apply_bases exactly."""
+    return jnp.pad(bases, ((0, 0), (0, L_PAD + 3 - bases.shape[1])), constant_values=4)
+
+
 def apply_bases(params: Params, bases: jnp.ndarray) -> jnp.ndarray:
     """Fast inference path from base codes: (B, 6000) int in [0, 4]
     (ACGT=0..3, N=4) -> (B, 3) class probs. Equal (to accumulation
@@ -438,9 +448,7 @@ def apply_bases(params: Params, bases: jnp.ndarray) -> jnp.ndarray:
     and runs the first layer as a one-hot MXU conv, with the trunk padded
     to L_PAD so the Pallas patch reduction can tile it."""
     p = params
-    # pad with N codes: padded token positions are masked out of every
-    # consumer and, being causal, never influence real positions
-    bases = jnp.pad(bases, ((0, 0), (0, L_PAD + 3 - bases.shape[1])), constant_values=4)
+    bases = _pad_bases(bases)
     h1 = _leaky_relu(
         _embed_onehot_conv(_tokens_from_bases(bases), p["conv1"]["kernel"], p["conv1"]["bias"])
     )

@@ -20,8 +20,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from genomad_tpu.models import igloo  # noqa: E402
 
 
+# module-scope so the jit cache hits after the first warmup call
+_SUM = jax.jit(lambda x: x.sum().astype(np.float32))
+
+
 def sync(out):
-    np.asarray(jax.jit(lambda x: x.sum().astype(np.float32))(out))
+    np.asarray(_SUM(out))
 
 
 def main():
@@ -34,11 +38,14 @@ def main():
         return igloo.apply_bases(p, bases)
 
     def fwd_scan(p, bases, n):
-        def body(carry, _):
-            out = igloo.apply_bases(p, bases)
+        # roll the batch by the step index so each iteration's input is
+        # genuinely different — otherwise the whole forward is loop-invariant
+        # and XLA's LICM can hoist it, timing ~1 iteration instead of n
+        def body(carry, i):
+            out = igloo.apply_bases(p, jnp.roll(bases, i, axis=0))
             return carry + out.sum().astype(jnp.float32), None
 
-        total, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
         return total
 
     n = 6

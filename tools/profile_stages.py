@@ -16,11 +16,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from genomad_tpu.models import igloo  # noqa: E402
 
 
+# module-scope so the jit cache hits after the first warmup call; a fresh
+# lambda per sync() would retrace+compile inside the timed region
+_SUM = jax.jit(lambda xs: sum(x.sum().astype(np.float32) for x in xs))
+
+
 def sync(out):
     # scalar reduction -> tiny host transfer (the axon tunnel makes full
     # tensor transfers prohibitively slow; block_until_ready is unreliable)
-    leaves = jax.tree_util.tree_leaves(out)
-    np.asarray(jax.jit(lambda xs: sum(x.sum().astype(np.float32) for x in xs))(leaves))
+    np.asarray(_SUM(jax.tree_util.tree_leaves(out)))
 
 
 def timeit(fn, *args, iters=6):
@@ -45,13 +49,11 @@ def main():
 
     @jax.jit
     def tok(p, bases):
-        b = jnp.pad(bases, ((0, 0), (0, igloo.L_PAD + 3 - bases.shape[1])), constant_values=4)
-        return igloo._tokens_from_bases(b)
+        return igloo._tokens_from_bases(igloo._pad_bases(bases))
 
     @jax.jit
     def conv1(p, bases):
-        b = jnp.pad(bases, ((0, 0), (0, igloo.L_PAD + 3 - bases.shape[1])), constant_values=4)
-        t = igloo._tokens_from_bases(b)
+        t = igloo._tokens_from_bases(igloo._pad_bases(bases))
         return igloo._leaky_relu(
             igloo._embed_onehot_conv(t, p["conv1"]["kernel"], p["conv1"]["bias"])
         )
