@@ -91,87 +91,139 @@ def _walk_h5(group, prefix=""):
 def load_keras_h5(path: Path) -> igloo.Params:
     """Convert the reference Keras checkpoint into our parameter pytree.
 
-    Assignment strategy: collect every dataset, then route by
-    (name keyword, shape); within a category, datasets are taken in
-    natural path order (Keras suffixes _1, _2 encode creation order, which
-    matches the graph order conv1 < conv2 < conv3 and igloo A < igloo B).
+    Handles every layout Keras produces for this graph (validated live
+    against checkpoints written by the reference's own ``create_classifier``
+    under Keras 3 — see tests/test_keras_parity.py):
+
+      * legacy whole-model ``.h5``      (``/model_weights/<layer>/.../kernel``)
+      * legacy weights-only ``.h5``     (``/<layer>/.../kernel:0``)
+      * Keras 3 ``.weights.h5``         (``/layers/<layer>/vars/<i>`` — anonymous)
+
+    Routing is STRUCTURE-driven, not name-order-driven: datasets are
+    grouped by their parent h5 group (one group per layer), layers are
+    identified by the multiset of array shapes they contain, kernel/bias
+    pairs stay siblings, and the encoder-vs-head ambiguity (two Dense(512)
+    + BatchNorm pairs with identical shapes) is resolved by subtree: the
+    encoder's pair lives in the nested-model subtree that also holds the
+    (6, 257, 128) first conv. Name order alone would swap them — the head
+    layer "batch_normalization_1" sorts before "functional/batch_normalization".
     """
     import h5py
 
     with h5py.File(path, "r") as f:
-        datasets = dict(_walk_h5(f))
-
-    def take_ordered(pred):
-        return [datasets[k] for k in utils.natsort([p for p in datasets if pred(p, datasets[p])])]
+        datasets = {
+            p: a for p, a in _walk_h5(f) if "optimizer" not in p.lower()
+        }
+    if not datasets:
+        raise ValueError(f"no weight datasets found in {path}")
 
     C, V, K = igloo.CHANNELS, igloo.VOCAB, igloo.CONV_KERNEL
+    P, S, L8 = igloo.N_PATCHES, igloo.PATCH_SIZE, igloo.POOLED_LEN
+    E, N = igloo.ENC_DIM, igloo.N_CLASSES
 
-    conv_kernels = take_ordered(lambda p, a: "kernel" in p.lower() and a.ndim == 3 and a.shape[0] == K)
-    conv1_kernel = next(a for a in conv_kernels if a.shape[1] == V)
-    rest = [a for a in conv_kernels if a.shape[1] == C]
-    if len(rest) != 2:
-        raise ValueError(f"expected 2 conv kernels of shape ({K},{C},{C}), found {len(rest)}")
-    conv2_kernel, conv3_kernel = rest
+    # Group datasets by parent h5 group = one group per Keras layer.
+    layers: dict[str, dict[str, np.ndarray]] = {}
+    for p, a in datasets.items():
+        parent, leaf = p.rsplit("/", 1)
+        layers.setdefault(parent, {})[leaf] = a
 
-    conv_biases = take_ordered(lambda p, a: "bias" in p.lower() and a.ndim == 1 and a.shape == (C,) and "conv" in p.lower())
-    if len(conv_biases) != 3:
-        raise ValueError(f"expected 3 conv biases, found {len(conv_biases)}")
+    def shape_sig(arrays):
+        return tuple(sorted(tuple(a.shape) for a in arrays.values()))
 
-    def igloo_group(index):
-        def nth(keyword, shape):
-            matches = take_ordered(lambda p, a: keyword in p and tuple(a.shape) == shape)
-            if len(matches) != 2:
-                raise ValueError(f"expected 2 '{keyword}' tensors of shape {shape}, found {len(matches)}")
-            return matches[index]
+    def find_layers(*shapes):
+        sig = tuple(sorted(shapes))
+        return [g for g in utils.natsort(list(layers)) if shape_sig(layers[g]) == sig]
+
+    def kernel_bias(group, kshape):
+        arrays = layers[group]
+        kernel = next(a for a in arrays.values() if tuple(a.shape) == kshape)
+        bias = next(a for a in arrays.values() if a.ndim == 1)
+        # Disambiguate by name when present (legacy layouts name them).
+        for leaf, a in arrays.items():
+            if "kernel" in leaf.lower():
+                kernel = a
+            elif "bias" in leaf.lower():
+                bias = a
+        return {"kernel": kernel, "bias": bias}
+
+    def one(hits, what):
+        if len(hits) != 1:
+            raise ValueError(f"expected exactly one {what} layer, found {len(hits)}: {hits}")
+        return hits[0]
+
+    conv1_group = one(find_layers((C,), (K, V, C)), "first conv")
+    conv_rest = find_layers((C,), (K, C, C))
+    if len(conv_rest) != 2:
+        raise ValueError(f"expected 2 inner conv layers, found {len(conv_rest)}")
+
+    igloo_groups = find_layers((P, S, 1), (1, P, S, C), (1, S * C, 1), (1, P), (P, L8), (1, C, C))
+    if len(igloo_groups) != 2:
+        raise ValueError(f"expected 2 IGLOO kernel layers, found {len(igloo_groups)}")
+
+    def igloo_params(group):
+        def by_shape(shape):
+            return next(a for a in layers[group].values() if tuple(a.shape) == shape)
 
         return {
-            "patches": nth("random_patches", (igloo.N_PATCHES, igloo.PATCH_SIZE, 1)).reshape(igloo.N_PATCHES, igloo.PATCH_SIZE).astype(np.int32),
-            "w_mult": nth("w_mult", (1, igloo.N_PATCHES, igloo.PATCH_SIZE, C))[0],
-            "w_summer": nth("w_summer", (1, igloo.PATCH_SIZE * C, 1))[0, :, 0],
-            "w_bias": nth("w_bias", (1, igloo.N_PATCHES))[0],
-            "w_qk": nth("w_qk", (igloo.N_PATCHES, igloo.POOLED_LEN)),
-            "w_v": nth("w_v", (1, C, C))[0],
+            "patches": by_shape((P, S, 1)).reshape(P, S).astype(np.int32),
+            "w_mult": by_shape((1, P, S, C))[0],
+            "w_summer": by_shape((1, S * C, 1))[0, :, 0],
+            "w_bias": by_shape((1, P))[0],
+            "w_qk": by_shape((P, L8)),
+            "w_v": by_shape((1, C, C))[0],
         }
 
-    def dense(shape):
-        kernels = take_ordered(lambda p, a: "kernel" in p.lower() and tuple(a.shape) == shape)
-        if not kernels:
-            raise ValueError(f"no dense kernel of shape {shape} found")
-        return kernels[0]
+    # Encoder subtree = deepest path prefix shared with the first conv's
+    # nested-model group; the encoder Dense(512)+BN pair lives under it,
+    # the classifier-head pair does not.
+    def subtree_depth(group):
+        a, b = group.split("/"), conv1_group.split("/")
+        d = 0
+        while d < min(len(a), len(b)) and a[d] == b[d]:
+            d += 1
+        return d
 
-    def dense_bias(dim, exclude_conv=True):
-        biases = take_ordered(
-            lambda p, a: "bias" in p.lower() and a.shape == (dim,) and (not exclude_conv or "conv" not in p.lower())
+    enc_dense_group = one(find_layers((E,), (2 * C, E)), "encoder dense")
+    head_dense_group = one(find_layers((E,), (E, E)), "head dense")
+    out_dense_group = one(find_layers((N,), (E, N)), "output dense")
+
+    bn_groups = find_layers((E,), (E,), (E,), (E,))
+    if len(bn_groups) != 2:
+        raise ValueError(f"expected 2 batchnorm layers, found {len(bn_groups)}")
+    # The encoder BN shares a (strictly deeper) subtree with conv1.
+    bn_groups.sort(key=subtree_depth, reverse=True)
+    enc_bn_group, head_bn_group = bn_groups
+    if subtree_depth(enc_bn_group) == subtree_depth(head_bn_group):
+        raise ValueError(
+            "cannot separate encoder/head batchnorm layers by subtree: "
+            f"{enc_bn_group} vs {head_bn_group}"
         )
-        return biases
 
-    def bn(index):
-        def grab(keyword):
-            matches = take_ordered(lambda p, a: keyword in p.lower() and a.shape == (igloo.ENC_DIM,))
-            if len(matches) != 2:
-                raise ValueError(f"expected 2 batchnorm '{keyword}' tensors, found {len(matches)}")
-            return matches[index]
-
-        return {"gamma": grab("gamma"), "beta": grab("beta"), "mean": grab("moving_mean"), "var": grab("moving_variance")}
-
-    enc_biases = dense_bias(igloo.ENC_DIM)
-    # Two Dense(512) layers exist (encoder head + classifier head); the
-    # batchnorm beta tensors also have shape (512,) but contain "beta" in
-    # the name, which "bias" filtering already excludes.
-    if len(enc_biases) != 2:
-        raise ValueError(f"expected 2 dense biases of dim {igloo.ENC_DIM}, found {len(enc_biases)}")
+    def bn_params(group):
+        arrays = layers[group]
+        named = {leaf.lower().rstrip(":0"): a for leaf, a in arrays.items()}
+        for key, words in (("gamma", "gamma"), ("beta", "beta"), ("mean", "moving_mean"), ("var", "moving_variance")):
+            hit = [a for leaf, a in named.items() if words in leaf]
+            if len(hit) == 1:
+                named[key] = hit[0]
+        if all(k in named for k in ("gamma", "beta", "mean", "var")):
+            return {k: named[k] for k in ("gamma", "beta", "mean", "var")}
+        # Anonymous Keras 3 vars: creation order is gamma, beta,
+        # moving_mean, moving_variance (trainable weights first).
+        ordered = [arrays[k] for k in utils.natsort(list(arrays))]
+        return dict(zip(("gamma", "beta", "mean", "var"), ordered))
 
     params = {
-        "conv1": {"kernel": conv1_kernel, "bias": conv_biases[0]},
-        "igloo1": igloo_group(0),
-        "conv2": {"kernel": conv2_kernel, "bias": conv_biases[1]},
-        "conv3": {"kernel": conv3_kernel, "bias": conv_biases[2]},
-        "igloo2": igloo_group(1),
-        "enc_dense": {"kernel": dense((2 * igloo.CHANNELS, igloo.ENC_DIM)), "bias": enc_biases[0]},
-        "enc_bn": bn(0),
-        "head_dense": {"kernel": dense((igloo.ENC_DIM, igloo.ENC_DIM)), "bias": enc_biases[1]},
-        "head_bn": bn(1),
-        "out_dense": {"kernel": dense((igloo.ENC_DIM, igloo.N_CLASSES)), "bias": dense_bias(igloo.N_CLASSES)[0]},
+        "conv1": kernel_bias(conv1_group, (K, V, C)),
+        "igloo1": igloo_params(igloo_groups[0]),
+        "conv2": kernel_bias(conv_rest[0], (K, C, C)),
+        "conv3": kernel_bias(conv_rest[1], (K, C, C)),
+        "igloo2": igloo_params(igloo_groups[1]),
+        "enc_dense": kernel_bias(enc_dense_group, (2 * C, E)),
+        "enc_bn": bn_params(enc_bn_group),
+        "head_dense": kernel_bias(head_dense_group, (E, E)),
+        "head_bn": bn_params(head_bn_group),
+        "out_dense": kernel_bias(out_dense_group, (E, N)),
     }
     _validate(params)
     return params

@@ -65,8 +65,21 @@ def _identity_njit(*args, **kwargs):
 
 
 def install_stubs() -> None:
-    stub_names = [
+    import importlib.util
+
+    # Only stub packages that are genuinely absent: the environment DOES
+    # ship some of the reference's deps (e.g. rich), and stubbing an
+    # installed package breaks OTHER libraries that import it (keras
+    # imports rich.markup).
+    stub_roots = [
         "rich",
+        "rich_click",
+        "pycrfsuite",
+        "pyrodigal_gv",
+        "taxopy",
+        "xgboost",
+    ]
+    rich_submodules = [
         "rich.box",
         "rich._log_render",
         "rich.console",
@@ -75,15 +88,16 @@ def install_stubs() -> None:
         "rich.progress",
         "rich.rule",
         "rich.tree",
-        "rich_click",
-        "pycrfsuite",
-        "pyrodigal_gv",
-        "taxopy",
-        "xgboost",
     ]
-    for name in stub_names:
-        if name not in sys.modules:
-            sys.modules[name] = _StubModule(name)
+    for name in stub_roots:
+        if name in sys.modules:
+            continue
+        if importlib.util.find_spec(name) is not None:
+            continue  # real package available — use it
+        sys.modules[name] = _StubModule(name)
+        if name == "rich":
+            for sub in rich_submodules:
+                sys.modules.setdefault(sub, _StubModule(sub))
 
     if "numba" not in sys.modules:
         numba = types.ModuleType("numba")
