@@ -19,10 +19,30 @@ from genomad_tpu.ops import gene_calling, protein_search
 from genomad_tpu.paths import GenomadOutputs
 
 
+def default_search_mesh():
+    """A (data=1, db=n_devices) mesh when more than one accelerator is
+    attached, else None. The profile DB shards natively across devices —
+    the replacement for the reference's serial ``--splits`` chunking
+    (genomad/mmseqs2.py:83-95)."""
+    import jax
+
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    from genomad_tpu.parallel import mesh as meshlib
+
+    return meshlib.make_mesh(n_data=1, n_db=len(devices))
+
+
 def run_search(proteins_path, output_path, db, use_minimal_db=False, use_integrase_db=False, sensitivity=4.2, evalue=1e-3, mesh=None):
     """Search a protein FASTA against the packed profile DB and write the
     best-hit TSV (columns: qheader, target, evalue, bits[, taxid] — the
-    convertalis contract, genomad/mmseqs2.py:159-174)."""
+    convertalis contract, genomad/mmseqs2.py:159-174).
+
+    With a multi-device mesh (or when one is auto-created because several
+    accelerators are attached), the search stage runs as ONE jitted
+    DB-sharded program per operand bucket — profiles sharded over the
+    mesh's 'db' axis, best hits merged with an on-device allreduce."""
     profile_db = db.get_profile_db(use_minimal_db=use_minimal_db, use_integrase_db=use_integrase_db)
     include_taxid = not use_integrase_db
     names, seqs, headers = [], [], {}
@@ -30,14 +50,11 @@ def run_search(proteins_path, output_path, db, use_minimal_db=False, use_integra
         names.append(seq.accession)
         headers[seq.accession] = seq.header
         seqs.append(seq.seq)
-    if mesh is not None and mesh.shape.get("db", 1) > 1:
-        hits = protein_search.search_sharded(
-            names, seqs, profile_db, mesh.shape["db"], sensitivity=sensitivity, evalue_threshold=evalue
-        )
-    else:
-        hits = protein_search.search(
-            names, seqs, profile_db, sensitivity=sensitivity, evalue_threshold=evalue
-        )
+    if mesh is None:
+        mesh = default_search_mesh()
+    hits = protein_search.search(
+        names, seqs, profile_db, sensitivity=sensitivity, evalue_threshold=evalue, mesh=mesh
+    )
     with open(output_path, "w") as fout:
         for name in names:
             if name not in hits:

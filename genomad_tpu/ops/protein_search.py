@@ -120,22 +120,12 @@ def _sw_dispatch(queries: jnp.ndarray, prof21: jnp.ndarray):
     return _sw_forward(queries, prof21)
 
 
-@jax.jit
-def _sw_pair_stats(all_q: jnp.ndarray, all_p21: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """One-dispatch SW statistics for a batch of (query, profile) pairs.
+def _pair_stats_ops(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """SW statistics for gathered (query, profile) operand batches.
 
-    Operand assembly, the forward pass, the alignment-start reversal, and
-    the reverse pass all happen on device so a pair batch costs exactly one
-    host->device transfer (the (2, N) index array) and one device->host
-    transfer (the (N, 5) result) — transfer round-trips, not compute,
-    dominate when the device is reached through a network tunnel.
-
-    all_q: (nq, Lq) staged padded queries; all_p21: (np, Lp, 21) staged
-    padded profiles; idx: (2, N) int32 rows into each.
+    q: (N, Lq) int32; p: (N, Lp, 21) f32.
     Returns (N, 5) f32: score, end_i, end_j, start_i, start_j.
     """
-    q = jnp.take(all_q, idx[0], axis=0)
-    p = jnp.take(all_p21, idx[1], axis=0)
     best, end_i, end_j = _sw_dispatch(q, p)
     # reverse the aligned prefixes in place on device: rev_q[b, t] =
     # q[b, end_i[b] - t] (pad 20 past the end), same for profile rows
@@ -160,6 +150,95 @@ def _sw_pair_stats(all_q: jnp.ndarray, all_p21: jnp.ndarray, idx: jnp.ndarray) -
         ],
         axis=1,
     )
+
+
+@jax.jit
+def _sw_pair_stats(all_q: jnp.ndarray, all_p21: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """One-dispatch SW statistics for a batch of (query, profile) pairs.
+
+    Operand assembly, the forward pass, the alignment-start reversal, and
+    the reverse pass all happen on device so a pair batch costs exactly one
+    host->device transfer (the (2, N) index array) and one device->host
+    transfer (the (N, 5) result) — transfer round-trips, not compute,
+    dominate when the device is reached through a network tunnel.
+
+    all_q: (nq, Lq) staged padded queries; all_p21: (np, Lp, 21) staged
+    padded profiles; idx: (2, N) int32 rows into each.
+    Returns (N, 5) f32: score, end_i, end_j, start_i, start_j.
+    """
+    q = jnp.take(all_q, idx[0], axis=0)
+    p = jnp.take(all_p21, idx[1], axis=0)
+    return _pair_stats_ops(q, p)
+
+
+_INT32_MAX = np.iinfo(np.int32).max
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "evalue_threshold", "min_qcov", "db_positions")
+)
+def _sharded_pair_best(
+    mesh,
+    all_q: jnp.ndarray,
+    q_lengths: jnp.ndarray,
+    p_stack: jnp.ndarray,
+    gid_stack: jnp.ndarray,
+    idx_stack: jnp.ndarray,
+    valid_stack: jnp.ndarray,
+    evalue_threshold: float,
+    min_qcov: float,
+    db_positions: int,
+):
+    """ONE jitted DB-sharded search program: SW pair stats, E-value and
+    coverage gates, and the per-query best-hit merge all on device.
+
+    The profile DB shards over the mesh's 'db' axis (the native
+    replacement for MMseqs2's serial ``--splits`` chunking,
+    genomad/mmseqs2.py:83-95); each device aligns the pairs routed to its
+    shard and reduces them to a per-query best, then the shards merge with
+    an allreduce: pmax on raw score + pmin on profile id for ties —
+    deterministic and shard-count-invariant.
+
+    all_q: (NQ, Lq) replicated; q_lengths: (NQ,) replicated;
+    p_stack: (n_db * P_loc, Lp, 21) sharded on 'db';
+    gid_stack: (n_db * P_loc,) global profile ids (INT32_MAX on padding);
+    idx_stack: (n_db, 2, N) per-device (query row, local profile row);
+    valid_stack: (n_db, N) pair validity.
+    Returns (best_score (NQ,), best_gid (NQ,)) — replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    nq = all_q.shape[0]
+
+    def body(all_q, q_lengths, p_loc, gid_loc, idx, valid):
+        idx, valid = idx[0], valid[0]  # strip the per-device stack axis
+        q = jnp.take(all_q, idx[0], axis=0)
+        p = jnp.take(p_loc, idx[1], axis=0)
+        stats = _pair_stats_ops(q, p)
+        score, end_i, start_i = stats[:, 0], stats[:, 1], stats[:, 3]
+        qlen = jnp.take(q_lengths, idx[0]).astype(jnp.float32)
+        bits = (KA_LAMBDA * score - jnp.log(KA_K)) / LN2
+        ev = qlen * db_positions * jnp.exp2(-bits)
+        qcov = (end_i - start_i + 1.0) / qlen
+        keep = valid & (ev <= evalue_threshold) & (qcov >= min_qcov)
+        skey = jnp.where(keep, score, -jnp.inf)
+        seg_best = jax.ops.segment_max(skey, idx[0], num_segments=nq)
+        gid = jnp.take(gid_loc, idx[1])
+        is_best = keep & (score == jnp.take(seg_best, idx[0]))
+        cand = jnp.where(is_best, gid, _INT32_MAX)
+        seg_gid = jax.ops.segment_min(cand, idx[0], num_segments=nq)
+        g_best = jax.lax.pmax(seg_best, "db")
+        tie = jnp.where(seg_best == g_best, seg_gid, _INT32_MAX)
+        g_gid = jax.lax.pmin(tie, "db")
+        return g_best, g_gid
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P("db"), P("db"), P("db"), P("db")),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated by construction (pmax/pmin)
+    )(all_q, q_lengths, p_stack, gid_stack, idx_stack, valid_stack)
 
 
 def sw_align(queries: np.ndarray, profiles: np.ndarray, compute_starts: bool = False):
@@ -319,6 +398,21 @@ def prefilter_query(
 # ---------------------------------------------------------------------------
 
 
+# Length-bucket upper bounds shared by the padded operand caches: every
+# staged dimension is padded to one of these (or a power of two) so the
+# compiled program set is small, stable across runs, and served by the
+# persistent compilation cache.
+_BOUNDS = (64, 128, 256, 512, 1024, 4096, 65536)
+
+
+def _bucket_bound(lengths):
+    return np.searchsorted(np.asarray(_BOUNDS), lengths, side="left")
+
+
+def _pow2(n: int, floor: int = 128) -> int:
+    return max(floor, 1 << (max(n, 1) - 1).bit_length())
+
+
 @dataclass
 class Hit:
     query: str
@@ -340,6 +434,8 @@ def search(
     min_ungapped_score: float = 25.0,
     skip_prefilter: bool = False,
     batch_size: int = 512,
+    mesh=None,
+    db_positions: int | None = None,
 ) -> dict:
     """Full search: prefilter -> batched SW -> coverage filter -> best hit.
 
@@ -349,9 +445,18 @@ def search(
     sensitivity maps to the DB-side k-mer expansion: < 6 uses consensus
     k-mers only (top-1 residue), >= 6 indexes the top-2 residues per column
     (the integrase search runs at 8.2 — reference cli.py:592-599).
+
+    With a mesh whose 'db' axis is > 1, stage 2 runs as ONE jitted
+    DB-sharded program per operand bucket (profiles sharded over 'db',
+    best-hit merge as an on-device allreduce) — see _sharded_pair_best.
     """
     residues_list = [profiledb.encode_protein(s) for s in query_seqs]
-    db_positions = max(db.total_positions, 1)
+    # db_positions: the search-space size for Karlin-Altschul statistics.
+    # Shard searches must pass the FULL database size so E-values (and the
+    # E-value gate) are shard-count-invariant, exactly as MMseqs2 corrects
+    # split-mode E-values to the whole target DB (mmseqs2.py:83-95).
+    if db_positions is None:
+        db_positions = max(db.total_positions, 1)
 
     # ---- stage 1: candidate pairs ----
     pairs_q, pairs_p = [], []
@@ -388,13 +493,8 @@ def search(
     # the dominant cost — and changes no results.
     q_lengths = np.array([len(r) for r in residues_list], np.int64)
 
-    bounds = (64, 128, 256, 512, 1024, 4096, 65536)
-
-    def bucket_bound(lengths):
-        return np.searchsorted(np.asarray(bounds), lengths, side="left")
-
-    qb = bucket_bound(q_lengths[pairs_q])
-    pb = bucket_bound(db.lengths[pairs_p])
+    qb = _bucket_bound(q_lengths[pairs_q])
+    pb = _bucket_bound(db.lengths[pairs_p])
     # Padded operand caches. Every staged array dimension is padded to a
     # power of two so the compiled program set is small, stable across runs,
     # and served by the persistent compilation cache — a data-dependent
@@ -402,12 +502,9 @@ def search(
     # program on nearly every call.
     padded_queries: dict[int, np.ndarray] = {}
 
-    def _pow2(n: int, floor: int = 128) -> int:
-        return max(floor, 1 << (max(n, 1) - 1).bit_length())
-
     def get_padded_queries(qb_i):
         if qb_i not in padded_queries:
-            Lq = bounds[qb_i]
+            Lq = _BOUNDS[qb_i]
             arr = np.full((_pow2(len(residues_list)), Lq), 20, np.int32)
             for i, r in enumerate(residues_list):
                 if len(r) <= Lq:
@@ -424,8 +521,8 @@ def search(
         memory-mapping (genomad/mmseqs2.py:83-95)."""
         cache = db.__dict__.setdefault("_device_buckets", {})
         if pb_i not in cache:
-            Lp = bounds[pb_i]
-            ids = np.where(bucket_bound(db.lengths) == pb_i)[0]
+            Lp = _BOUNDS[pb_i]
+            ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
             lens = db.lengths[ids].astype(np.int64)
             rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
             mask = np.arange(Lp)[None, :] < lens[:, None]
@@ -435,6 +532,22 @@ def search(
             )
             cache[pb_i] = (ids, jnp.asarray(arr))
         return cache[pb_i]
+
+    if mesh is not None and mesh.shape.get("db", 1) > 1:
+        return _stage2_sharded(
+            mesh,
+            query_names,
+            q_lengths,
+            pairs_q,
+            pairs_p,
+            db,
+            qb,
+            pb,
+            get_padded_queries,
+            evalue_threshold,
+            min_qcov,
+            db_positions,
+        )
 
     pending = []  # (pair_indices, device stats array)
     max_chunk = max(batch_size, 8192)
@@ -490,6 +603,134 @@ def search(
     }
 
 
+def _stage2_sharded(
+    mesh,
+    query_names,
+    q_lengths,
+    pairs_q,
+    pairs_p,
+    db,
+    qb,
+    pb,
+    get_padded_queries,
+    evalue_threshold,
+    min_qcov,
+    db_positions,
+) -> dict:
+    """Device-sharded stage 2: route candidate pairs to the device owning
+    their profile shard and run _sharded_pair_best per operand bucket.
+
+    Gates run on device in float32 (the host path uses float64); the
+    reported E-value/bitscore of each winner is recomputed on the host from
+    the winning raw score with the same float64 functions as the host path,
+    so agreeing winners produce identical output values.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_db = mesh.shape["db"]
+    replicated = NamedSharding(mesh, P())
+    db_shard = NamedSharding(mesh, P("db"))
+
+    def get_staged_shards(pb_i):
+        """(ids, per-device row count, profile tensor sharded over 'db',
+        global-id tensor sharded over 'db') for one profile length class.
+        Rows [d * p_loc, (d+1) * p_loc) live on device d; padding rows have
+        zero PSSMs and gid INT32_MAX so they can never win a merge."""
+        cache = db.__dict__.setdefault("_device_bucket_shards", {})
+        key = (pb_i, n_db)
+        if key not in cache:
+            Lp = _BOUNDS[pb_i]
+            ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
+            p_loc = _pow2(-(-len(ids) // n_db), floor=8)
+            arr = np.zeros((n_db * p_loc, Lp, N_AA + 1), np.float32)
+            gids = np.full(n_db * p_loc, _INT32_MAX, np.int32)
+            lens = db.lengths[ids].astype(np.int64)
+            rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
+            mask = np.arange(Lp)[None, :] < lens[:, None]
+            arr[: len(ids), :, :N_AA] = np.where(
+                mask[:, :, None], db.pssm[np.minimum(rows, db.offsets[-1] - 1)], 0.0
+            )
+            gids[: len(ids)] = ids
+            cache[key] = (
+                ids,
+                p_loc,
+                jax.device_put(arr, db_shard),
+                jax.device_put(gids, db_shard),
+            )
+        return cache[key]
+
+    results = []  # per-program (best_score (NQ,), best_gid (NQ,))
+    max_chunk = 8192  # per-device pair count per program call
+    for qb_i in np.unique(qb):
+        all_q = get_padded_queries(qb_i)
+        all_q_dev = jax.device_put(all_q, replicated)
+        qlen_pad = np.ones(all_q.shape[0], np.int32)
+        qlen_pad[: len(q_lengths)] = q_lengths
+        qlen_dev = jax.device_put(qlen_pad, replicated)
+        for pb_i in np.unique(pb[qb == qb_i]):
+            sel = np.where((qb == qb_i) & (pb == pb_i))[0]
+            ids, p_loc, arr_dev, gid_dev = get_staged_shards(pb_i)
+            local = np.searchsorted(ids, pairs_p[sel])
+            owner = local // p_loc
+            order = np.argsort(owner, kind="stable")
+            counts = np.bincount(owner, minlength=n_db)
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            for start in range(0, int(counts.max()), max_chunk):
+                width = min(max_chunk, int(counts.max()) - start)
+                n_pad = _pow2(width, floor=256)
+                idx_stack = np.zeros((n_db, 2, n_pad), np.int32)
+                valid = np.zeros((n_db, n_pad), bool)
+                for d in range(n_db):
+                    lo = offsets[d] + start
+                    hi = min(lo + width, offsets[d + 1])
+                    if lo >= hi:
+                        continue
+                    rows_d = order[lo:hi]
+                    k = hi - lo
+                    idx_stack[d, 0, :k] = pairs_q[sel[rows_d]]
+                    idx_stack[d, 1, :k] = local[rows_d] % p_loc
+                    valid[d, :k] = True
+                best_s, best_g = _sharded_pair_best(
+                    mesh,
+                    all_q_dev,
+                    qlen_dev,
+                    arr_dev,
+                    gid_dev,
+                    jax.device_put(idx_stack, db_shard),
+                    jax.device_put(valid, db_shard),
+                    float(evalue_threshold),
+                    float(min_qcov),
+                    int(db_positions),
+                )
+                results.append((best_s, best_g))
+
+    if not results:
+        return {}
+    nq_pad = results[0][0].shape[0]
+    best_score = np.full(nq_pad, -np.inf, np.float32)
+    best_gid = np.full(nq_pad, _INT32_MAX, np.int64)
+    for s_dev, g_dev in results:
+        s = np.asarray(s_dev).astype(np.float32)
+        g = np.asarray(g_dev).astype(np.int64)
+        better = (s > best_score) | ((s == best_score) & (g < best_gid))
+        best_score = np.where(better, s, best_score)
+        best_gid = np.where(better, g, best_gid)
+
+    out = {}
+    for qi in range(len(query_names)):
+        if not np.isfinite(best_score[qi]) or best_gid[qi] == _INT32_MAX:
+            continue
+        raw = float(best_score[qi])
+        gid = int(best_gid[qi])
+        out[query_names[qi]] = (
+            str(db.names[gid]),
+            float(evalue(raw, q_lengths[qi], db_positions)),
+            int(round(float(bitscore(raw)))),
+            int(db.taxids[gid]) if db.taxids[gid] > 0 else 1,
+        )
+    return out
+
+
 def search_sharded(query_names, query_seqs, db: ProfileDB, n_shards: int, **kwargs) -> dict:
     """DB-sharded search: run each shard independently and merge best hits
     by (bitscore, -profile name) — deterministic and shard-count-invariant.
@@ -499,6 +740,7 @@ def search_sharded(query_names, query_seqs, db: ProfileDB, n_shards: int, **kwar
     identical merge semantics.
     """
     merged: dict[str, tuple] = {}
+    kwargs.setdefault("db_positions", max(db.total_positions, 1))
     for shard_i in range(n_shards):
         shard = db.shard(n_shards, shard_i)
         hits = search(query_names, query_seqs, shard, **kwargs)

@@ -30,3 +30,71 @@ def test_dense_best_hits_unsharded_vs_sharded():
         best, score = sharded_search.dense_best_hits(queries, profiles, mesh)
         np.testing.assert_array_equal(best, best_unsharded)
         np.testing.assert_allclose(score, score_unsharded, rtol=1e-5)
+
+
+def _make_queries(db: ProfileDB, n_queries: int, seed: int):
+    from genomad_tpu.ops.profiledb import ALPHABET
+
+    rng = np.random.default_rng(seed)
+    names, seqs = [], []
+    for qi in range(n_queries):
+        if qi % 3 < 2:
+            target = int(rng.integers(0, db.n_profiles))
+            seq = db.consensus(target).copy()
+            pos = rng.choice(len(seq), max(1, len(seq) // 10), replace=False)
+            seq[pos] = rng.integers(0, N_AA, len(pos))
+        else:
+            seq = rng.integers(0, N_AA, int(rng.integers(40, 120)))
+        names.append(f"q_{qi}")
+        seqs.append("".join(ALPHABET[r] for r in seq))
+    return names, seqs
+
+
+def assert_hits_equivalent(got: dict, want: dict):
+    """Hit tables must agree on everything the pipeline consumes: same
+    query set, same winning marker, same integer bitscore, same taxid.
+
+    The float E-value is only *reported* (no downstream module reads it
+    numerically — features consume SPM classes/counts); it may move by
+    ~1e-5 relative because the raw f32 alignment score can differ by 1 ulp
+    between differently-compiled XLA programs (constant reassociation /
+    FMA contraction differ per program shape). The round-1 host shard loop
+    had the same property: each shard count compiles a different program."""
+    assert got.keys() == want.keys()
+    for q in want:
+        gt, ge, gb, gx = got[q]
+        wt, we, wb, wx = want[q]
+        assert (gt, gb, gx) == (wt, wb, wx), f"{q}: {got[q]} != {want[q]}"
+        np.testing.assert_allclose(ge, we, rtol=1e-4)
+
+
+def test_production_search_sharded_matches_host():
+    """The production search with a mesh (ONE jitted DB-sharded program:
+    profiles sharded over 'db', on-device gates + allreduce best-hit merge)
+    must match the host single-device result for every db-axis size."""
+    from genomad_tpu.ops import protein_search
+
+    db = ProfileDB.synthetic(seed=7, n_profiles=300, min_len=40, max_len=180)
+    names, seqs = _make_queries(db, 48, seed=3)
+
+    reference = protein_search.search(names, seqs, db)
+    assert reference, "expected at least one hit from planted queries"
+
+    for n_db in (2, 8):
+        mesh = meshlib.make_mesh(n_data=8 // n_db, n_db=n_db)
+        got = protein_search.search(names, seqs, db, mesh=mesh)
+        assert_hits_equivalent(got, reference)
+
+
+def test_production_search_sharded_matches_host_loop():
+    """The legacy host shard loop (search_sharded) and the device-sharded
+    path implement the same merge semantics."""
+    from genomad_tpu.ops import protein_search
+
+    db = ProfileDB.synthetic(seed=11, n_profiles=120, min_len=40, max_len=100)
+    names, seqs = _make_queries(db, 24, seed=5)
+
+    host_loop = protein_search.search_sharded(names, seqs, db, n_shards=4)
+    mesh = meshlib.make_mesh(n_data=2, n_db=4)
+    device = protein_search.search(names, seqs, db, mesh=mesh)
+    assert_hits_equivalent(device, host_loop)
