@@ -80,15 +80,28 @@ class Database:
         from genomad_tpu.ops.profiledb import ProfileDB
 
         if use_integrase_db:
-            path = self.integrase_profile_db_file
+            path, mmseqs_db = self.integrase_profile_db_file, self.mmseqs2_integrase_db
         elif use_minimal_db:
-            path = self.minimal_profile_db_file
+            path, mmseqs_db = self.minimal_profile_db_file, self.mmseqs2_minimal_db
         else:
-            path = self.profile_db_file
+            path, mmseqs_db = self.profile_db_file, self.mmseqs2_db
         if not path.exists():
+            # Manually-extracted DB directories (e.g. from the Zenodo
+            # mirror) carry only the MMseqs2 profile files; pack on first
+            # use so the directory is turnkey either way.
+            if Path(f"{mmseqs_db}.index").exists():
+                from genomad_tpu.ops import mmseqs_io
+
+                db = mmseqs_io.convert_mmseqs_profile_db(mmseqs_db)
+                try:
+                    db.save(path)
+                except OSError:  # read-only DB directory: use in-memory
+                    pass
+                return db
             raise FileNotFoundError(
-                f"profile database {path} not found — build it with "
-                "tools/build_profile_db.py"
+                f"profile database {path} not found and no MMseqs2 profile "
+                f"files to pack it from — run download-database, or build "
+                "it with tools/build_profile_db.py"
             )
         return ProfileDB.load(path)
 
