@@ -43,6 +43,11 @@ TRAINING_MIN_ORF = 150  # nt, ORFs used to seed the coding model (broad GeneMark
 
 _BASE = {65: 0, 67: 1, 71: 2, 84: 3}  # A C G T
 
+# byte -> 2-bit base code (4 = non-ACGT), the vectorized form of _BASE
+_BASE_LUT = np.full(256, 4, np.int8)
+for _byte, _code in _BASE.items():
+    _BASE_LUT[_byte] = _code
+
 _CODON_TABLE_11 = (
     "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSS*CWCLFLF"
 )
@@ -55,22 +60,31 @@ def _codon_index(codon: str) -> int:
     return _BASE.get(ord(codon[0]), 0) * 16 + _BASE.get(ord(codon[1]), 0) * 4 + _BASE.get(ord(codon[2]), 0)
 
 
+def _aa_lut(code: int) -> np.ndarray:
+    """65-entry byte LUT: codon index 0..63 -> amino-acid byte; index 64 =
+    'X' for codons containing non-ACGT bases."""
+    table = list(_CODON_TABLE_11)
+    if code == 4:
+        table[_codon_index("TGA")] = "W"
+    elif code == 15:
+        table[_codon_index("TAG")] = "Q"
+    return np.frombuffer("".join(table).encode() + b"X", np.uint8)
+
+
+_AA_LUTS = {code: _aa_lut(code) for code in (11, 4, 15)}
+
+
 def translate(seq: str, code: int = 11) -> str:
-    """Translate a CDS (without the final stop handling: '*' for stops)."""
-    out = []
-    for i in range(0, len(seq) - 2, 3):
-        codon = seq[i : i + 3].upper()
-        if any(c not in "ACGT" for c in codon):
-            out.append("X")
-            continue
-        aa = _CODON_TABLE_11[_codon_index(codon)]
-        if aa == "*":
-            if code == 4 and codon == "TGA":
-                aa = "W"
-            elif code == 15 and codon == "TAG":
-                aa = "Q"
-        out.append(aa)
-    return "".join(out)
+    """Translate a CDS ('*' for stops, 'X' for ambiguous codons),
+    vectorized: byte LUT -> codon indices -> amino-acid byte LUT."""
+    codes = _BASE_LUT[np.frombuffer(seq.upper().encode(), np.uint8)]
+    n_codons = len(codes) // 3
+    if n_codons == 0:
+        return ""
+    c = codes[: n_codons * 3].reshape(n_codons, 3).astype(np.int64)
+    idx = c[:, 0] * 16 + c[:, 1] * 4 + c[:, 2]
+    idx = np.where((c < 4).all(axis=1), idx, 64)
+    return _AA_LUTS[code][idx].tobytes().decode()
 
 
 @dataclass
@@ -137,7 +151,7 @@ class HexamerModel:
         background_hexamers: empirical hexamer counts over the whole input
         (all frames). With insufficient training data the model stays flat
         (scores 0) rather than amplifying composition noise."""
-        counts = np.ones(4096, np.float64)  # +1 smoothing
+        counts = np.zeros(4096, np.float64)
         n_train = 0
         for codes in training_orfs:
             hexes = self._hexamer_codes(codes)
@@ -145,6 +159,14 @@ class HexamerModel:
             if len(hexes):
                 counts += np.bincount(hexes, minlength=4096)
                 n_train += len(hexes)
+        self.train_from_counts(counts, n_train, background_hexamers)
+
+    def train_from_counts(
+        self, orf_counts: np.ndarray, n_train: int, background_hexamers: np.ndarray
+    ) -> None:
+        """Train from pre-reduced statistics (additive across contigs, which
+        is what makes the training pass parallelizable)."""
+        counts = orf_counts + 1.0  # +1 smoothing
         if n_train < self.MIN_TRAINING_HEXAMERS:
             self.log_ratio = np.zeros(4096, np.float32)
             self.trained = False
@@ -239,40 +261,66 @@ def find_rbs(upstream: str) -> tuple[str, str, float]:
 _START_SCORES = {"ATG": 1.0, "GTG": 0.2, "TTG": -0.2, "Edge": 0.0}
 
 
+_START_BY_INDEX = {_codon_index(c): c for c in _STARTS}
+
+
+def _codon_masks(upper: str, code: int):
+    """Vectorized per-position codon classification: (is_stop, is_start,
+    codon_index) boolean/int arrays of length len(seq) - 2."""
+    codes = _BASE_LUT[np.frombuffer(upper.encode(), np.uint8)].astype(np.int64)
+    if len(codes) < 3:
+        z = np.zeros(0, bool)
+        return z, z, np.zeros(0, np.int64)
+    idx = codes[:-2] * 16 + codes[1:-1] * 4 + codes[2:]
+    valid = (codes[:-2] < 4) & (codes[1:-1] < 4) & (codes[2:] < 4)
+    stop_codes = np.array([_codon_index(s) for s in _STOPS[code]])
+    start_codes = np.array([_codon_index(s) for s in _STARTS])
+    is_stop = valid & np.isin(idx, stop_codes)
+    is_start = valid & np.isin(idx, start_codes)
+    return is_stop, is_start, idx
+
+
 def _find_orfs(seq: str, code: int):
     """All candidate genes on the forward strand of ``seq`` for one genetic
     code. Yields (begin0, end0_exclusive, partial_begin, partial_end,
-    start_type) in forward coordinates; begin points at the start codon."""
+    start_type) in forward coordinates; begin points at the start codon.
+
+    The codon scan is a vectorized mask pass; only per-ORF candidate
+    emission (bounded work per gene) remains in Python.
+    """
     n = len(seq)
-    stops = _STOPS[code]
     upper = seq.upper()
+    is_stop, is_start, codon_idx = _codon_masks(upper, code)
     for frame in range(3):
-        region_start = frame
+        pos = np.arange(frame, n - 2, 3)
+        if not len(pos):
+            continue
+        stops_at = pos[is_stop[pos]]
+        starts_at = pos[is_start[pos]]
         last_full = frame + ((n - frame) // 3) * 3  # end of last full codon
-        for pos in range(frame, last_full - 2, 3):
-            if upper[pos : pos + 3] in stops:
-                orf_end = pos + 3
-                if orf_end - region_start >= MIN_GENE_LENGTH:
-                    yield from _orf_candidates(
-                        upper, region_start, orf_end, False, frame
-                    )
-                region_start = pos + 3
+        region_start = frame
+        for stop_pos in stops_at:
+            orf_end = int(stop_pos) + 3
+            if orf_end - region_start >= MIN_GENE_LENGTH:
+                yield from _orf_candidates(
+                    region_start, orf_end, False, starts_at, codon_idx
+                )
+            region_start = orf_end
         # trailing region running off the contig edge (partial end)
         if last_full - region_start >= MIN_GENE_LENGTH:
-            yield from _orf_candidates(upper, region_start, last_full, True, frame)
+            yield from _orf_candidates(region_start, last_full, True, starts_at, codon_idx)
 
 
-def _orf_candidates(upper, region_start, orf_end, partial_end, frame):
+def _orf_candidates(region_start, orf_end, partial_end, starts_at, codon_idx):
     """Candidate (start, stop) pairs within an ORF region: each valid start
     codon plus an edge-partial candidate when the region touches position
-    < 3."""
-    starts = []
-    for pos in range(region_start, orf_end - 2, 3):
-        codon = upper[pos : pos + 3]
-        if codon in _STARTS:
-            starts.append((pos, codon, False))
-        if len(starts) >= 24:  # cap start candidates per ORF
-            break
+    < 3. ``starts_at``: sorted start-codon positions in this frame."""
+    lo = np.searchsorted(starts_at, region_start)
+    hi = np.searchsorted(starts_at, orf_end - 2)
+    starts = [
+        (int(p), _START_BY_INDEX[int(codon_idx[p])], False)
+        for p in starts_at[lo : min(hi, lo + 24)]  # cap start candidates per ORF
+    ]
     if region_start < 3:  # contig-edge partial gene
         starts.insert(0, (region_start, "Edge", True))
     for pos, start_type, partial_begin in starts:
@@ -313,17 +361,54 @@ def _select_genes(candidates: list[Gene]) -> list[Gene]:
     return selected
 
 
+class _StrandScorer:
+    """O(1) per-candidate coding score and GC content via prefix sums over a
+    full strand. ``score(b, e)`` equals ``model.score(codes[b:e])`` — the
+    in-frame hexamer windows of a slice are a contiguous run of the strand's
+    per-frame hexamer stream, so each frame needs one cumulative sum."""
+
+    def __init__(self, model: HexamerModel, codes: np.ndarray):
+        n = len(codes) - 5
+        if n > 0:
+            windows = np.lib.stride_tricks.sliding_window_view(codes, 6)[:n]
+            valid = (windows < 4).all(axis=1)
+            weights = 4 ** np.arange(5, -1, -1, dtype=np.int64)
+            vals = windows.astype(np.int64) @ weights
+            per_pos = np.where(valid, model.log_ratio[np.where(valid, vals, 0)], 0.0)
+        else:
+            per_pos = np.zeros(0, np.float64)
+        self._cum = [
+            np.concatenate([[0.0], np.cumsum(per_pos[f::3], dtype=np.float64)])
+            for f in range(3)
+        ]
+        self._gc_cum = np.concatenate(
+            [[0], np.cumsum((codes == 1) | (codes == 2), dtype=np.int64)]
+        )
+
+    def score(self, begin: int, end: int) -> float:
+        if end - begin < 6:
+            return 0.0
+        f = begin % 3
+        count = (end - begin - 6) // 3 + 1
+        c = self._cum[f]
+        i = (begin - f) // 3
+        return float(c[i + count] - c[i])
+
+    def gc(self, begin: int, end: int) -> float:
+        return float(self._gc_cum[end] - self._gc_cum[begin]) / max(end - begin, 1)
+
+
 def _call_genes_for_code(seq: str, code: int, model: HexamerModel) -> list[Gene]:
     n = len(seq)
     rc = seqlib.Sequence("x", seq).rc().seq
     candidates: list[Gene] = []
     for strand, s in ((1, seq), (-1, rc)):
         upper = s.upper()
-        codes2bit = np.frombuffer(upper.encode(), np.uint8)
-        codes2bit = np.array([_BASE.get(b, 4) for b in codes2bit], np.int8)
+        codes2bit = _BASE_LUT[np.frombuffer(upper.encode(), np.uint8)]
+        scorer = _StrandScorer(model, codes2bit)
         for begin0, end0, partial_begin, partial_end, start_type in _find_orfs(s, code):
             cds = s[begin0:end0]
-            coding_score = model.score(codes2bit[begin0:end0])
+            coding_score = scorer.score(begin0, end0)
             if start_type == "Edge":
                 rbs_motif, rbs_spacer, rbs_score = "None", "None", 0.0
             else:
@@ -351,7 +436,7 @@ def _call_genes_for_code(seq: str, code: int, model: HexamerModel) -> list[Gene]
                     rbs_motif=rbs_motif,
                     rbs_spacer=rbs_spacer,
                     genetic_code=code,
-                    gc_cont=_gc_content(cds),
+                    gc_cont=scorer.gc(begin0, end0),
                     score=score,
                     coding_score=coding_score,
                     cds=cds,
@@ -372,21 +457,45 @@ def _all_frame_hexamers(codes: np.ndarray) -> np.ndarray:
     return np.bincount(vals, minlength=4096).astype(np.float64)
 
 
-def train_model(sequences, code: int = 11) -> HexamerModel:
-    """Train the hexamer model on long ORFs across the whole input, with the
-    input's own all-frame hexamer distribution as background."""
-    model = HexamerModel()
-    training = []
+def _training_stats(seq: str, code: int) -> tuple[np.ndarray, int, np.ndarray]:
+    """Per-sequence training statistics — in-frame hexamer counts over long
+    ORFs (both strands), their total, and the all-frame background. All three
+    are additive across contigs, so training reduces over a process pool."""
+    counts = np.zeros(4096, np.float64)
+    n_train = 0
     background = np.zeros(4096, np.float64)
-    for seq in sequences:
-        upper = seq.upper()
-        for s in (upper, seqlib.Sequence("x", upper).rc().seq):
-            arr_s = np.array([_BASE.get(b, 4) for b in s.encode()], np.int8)
-            background += _all_frame_hexamers(arr_s)
-            for begin0, end0, _, _, start_type in _find_orfs(s, code):
-                if end0 - begin0 >= TRAINING_MIN_ORF:
-                    training.append(arr_s[begin0:end0])
-    model.train(training, background)
+    upper = seq.upper()
+    for s in (upper, seqlib.Sequence("x", upper).rc().seq):
+        arr_s = _BASE_LUT[np.frombuffer(s.encode(), np.uint8)]
+        background += _all_frame_hexamers(arr_s)
+        for begin0, end0, _, _, _ in _find_orfs(s, code):
+            if end0 - begin0 >= TRAINING_MIN_ORF:
+                hexes = HexamerModel._hexamer_codes(arr_s[begin0:end0])
+                hexes = hexes[hexes >= 0]
+                if len(hexes):
+                    counts += np.bincount(hexes, minlength=4096)
+                    n_train += len(hexes)
+    return counts, n_train, background
+
+
+def train_model(sequences, code: int = 11, pool=None) -> HexamerModel:
+    """Train the hexamer model on long ORFs across the whole input, with the
+    input's own all-frame hexamer distribution as background. ``pool``: an
+    optional multiprocessing pool to fan the per-contig stats pass over."""
+    model = HexamerModel()
+    args = [(seq, code) for seq in sequences]
+    if pool is not None and len(args) > 1:
+        stats = pool.starmap(_training_stats, args, chunksize=4)
+    else:
+        stats = [_training_stats(seq, code) for seq, code in args]
+    counts = np.zeros(4096, np.float64)
+    n_train = 0
+    background = np.zeros(4096, np.float64)
+    for c, n, b in stats:
+        counts += c
+        n_train += n
+        background += b
+    model.train_from_counts(counts, n_train, background)
     return model
 
 
@@ -395,12 +504,17 @@ class GeneFinder:
     genetic-code selection (11 default; 4/15 adopted when they raise coding
     density by >= 10% — the giant-virus code heuristic)."""
 
-    def __init__(self, sequences: list[str] | None = None, try_alt_codes: bool = True):
+    def __init__(
+        self,
+        sequences: list[str] | None = None,
+        try_alt_codes: bool = True,
+        pool=None,
+    ):
         self.try_alt_codes = try_alt_codes
         self.models: dict[int, HexamerModel] = {}
         self._training_seqs = list(sequences) if sequences else []
         if sequences:
-            self.models[11] = train_model(self._training_seqs, 11)
+            self.models[11] = train_model(self._training_seqs, 11, pool=pool)
 
     def _model(self, code: int) -> HexamerModel:
         if code not in self.models:
@@ -443,30 +557,75 @@ class GeneFinder:
 # ---------------------------------------------------------------------------
 
 
+# Worker-process state for parallel gene calling: the trained GeneFinder is
+# set in the PARENT before the calling pool forks, so workers inherit it (and
+# its hexamer tables + training corpus) copy-on-write — nothing is pickled.
+_WORKER_FINDER: GeneFinder | None = None
+
+
+def _call_contig(task: tuple[int, str, str]) -> str:
+    """Call genes on one contig and render its FASTA block (worker side)."""
+    seq_i, accession, seq = task
+    out = []
+    for gene_i, gene in enumerate(_WORKER_FINDER.find_genes(seq), 1):
+        header = (
+            f"{accession}_{gene_i} # {gene.begin} # {gene.end} # "
+            f"{gene.strand} # ID={seq_i}_{gene_i};"
+            f"partial={int(gene.partial_begin)}{int(gene.partial_end)};"
+            f"start_type={gene.start_type};rbs_motif={gene.rbs_motif};"
+            f"rbs_spacer={gene.rbs_spacer};"
+            f"genetic_code={gene.genetic_code};"
+            f"gc_cont={gene.gc_cont:.3f}"
+        )
+        out.append(str(seqlib.Sequence(header, gene.translate())))
+    return "".join(out)
+
+
 class Prodigal:
     """Drop-in analog of the reference Prodigal wrapper: writes the protein
-    FASTA with Prodigal-style headers and re-parses it."""
+    FASTA with Prodigal-style headers and re-parses it.
+
+    Parallelism mirrors the reference (prodigal.py:16-41 runs prodigal-gv
+    over FASTA chunks in a process pool): gene calling fans out over contigs
+    across ``threads`` forked workers after a single shared training pass,
+    and blocks are written back in deterministic input order.
+    """
 
     def __init__(self, input_file: Path, prodigal_output: Path) -> None:
         self.input_file = Path(input_file)
         self.prodigal_output = Path(prodigal_output)
 
     def run_parallel_prodigal(self, threads: int | None = None) -> None:
+        global _WORKER_FINDER
+        import multiprocessing as mp
+
         contigs = [(s.accession, s.seq) for s in seqlib.read_fasta(self.input_file)]
-        finder = GeneFinder([seq for _, seq in contigs])
-        with open(self.prodigal_output, "w") as fout:
-            for seq_i, (accession, seq) in enumerate(contigs, 1):
-                for gene_i, gene in enumerate(finder.find_genes(seq), 1):
-                    header = (
-                        f"{accession}_{gene_i} # {gene.begin} # {gene.end} # "
-                        f"{gene.strand} # ID={seq_i}_{gene_i};"
-                        f"partial={int(gene.partial_begin)}{int(gene.partial_end)};"
-                        f"start_type={gene.start_type};rbs_motif={gene.rbs_motif};"
-                        f"rbs_spacer={gene.rbs_spacer};"
-                        f"genetic_code={gene.genetic_code};"
-                        f"gc_cont={gene.gc_cont:.3f}"
-                    )
-                    fout.write(str(seqlib.Sequence(header, gene.translate())))
+        tasks = [(i, acc, seq) for i, (acc, seq) in enumerate(contigs, 1)]
+        n_workers = min(threads or mp.cpu_count(), max(len(tasks), 1))
+        # Fork is required for the copy-on-write finder handoff; fall back to
+        # in-process calling on platforms without it or for tiny inputs.
+        # Workers are numpy/pure-Python only (this module never imports JAX),
+        # so forking from a JAX-threaded parent is safe: no XLA/TSL lock can
+        # be held by the forked child because it never calls into them.
+        use_pool = n_workers > 1 and "fork" in mp.get_all_start_methods()
+        ctx = mp.get_context("fork") if use_pool else None
+        if use_pool:
+            with ctx.Pool(n_workers) as pool:
+                finder = GeneFinder([seq for _, seq in contigs], pool=pool)
+        else:
+            finder = GeneFinder([seq for _, seq in contigs])
+        _WORKER_FINDER = finder  # pre-fork: calling workers inherit it
+        try:
+            with open(self.prodigal_output, "w") as fout:
+                if use_pool:
+                    with ctx.Pool(n_workers) as pool:
+                        for block in pool.imap(_call_contig, tasks, chunksize=4):
+                            fout.write(block)
+                else:
+                    for task in tasks:
+                        fout.write(_call_contig(task))
+        finally:
+            _WORKER_FINDER = None
 
     def proteins(self):
         """Yield (contig, gene#, start, end, strand, rbs, code, gc) parsed
