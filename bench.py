@@ -70,11 +70,21 @@ def bench_search(n_profiles: int = 20_000, n_queries: int = 500) -> dict:
     from genomad_tpu.ops.profiledb import ALPHABET, N_AA, ProfileDB
 
     rng = np.random.default_rng(0)
-    cache = Path(f"/tmp/genomad_tpu_bench_db_{n_profiles}.npz")
+    cache = Path(f"/tmp/genomad_tpu_bench_db_bg_{n_profiles}.npz")
     if cache.exists():
         db = ProfileDB.load(cache)
     else:
-        db = ProfileDB.synthetic(seed=1, n_profiles=n_profiles, min_len=60, max_len=400)
+        from genomad_tpu.ops.statistics import BACKGROUND_FREQS
+
+        # background consensus composition — representative of real profile
+        # DBs (see tools/bench_search.py)
+        db = ProfileDB.synthetic(
+            seed=1,
+            n_profiles=n_profiles,
+            min_len=60,
+            max_len=400,
+            residue_freqs=BACKGROUND_FREQS,
+        )
         db.save(cache)
 
     names, seqs = [], []

@@ -50,7 +50,7 @@ def get_library():
         return None
     lib.prefilter_batch.restype = ctypes.c_int64
     lib.prefilter_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_int64),   # sorted_kmers
+        ctypes.POINTER(ctypes.c_int32),   # code_table (20^5+1 offsets)
         ctypes.POINTER(ctypes.c_int32),   # entry_profiles
         ctypes.POINTER(ctypes.c_int32),   # entry_positions
         ctypes.c_int64,                   # n_entries
@@ -63,14 +63,16 @@ def get_library():
         ctypes.POINTER(ctypes.c_int64),   # offsets
         ctypes.POINTER(ctypes.c_int32),   # lengths
         ctypes.c_float,                   # min_ungapped_score
+        ctypes.POINTER(ctypes.c_float),   # subst (20x20; NULL = exact only)
+        ctypes.c_float,                   # kmer_thr
         ctypes.POINTER(ctypes.c_int32),   # out_profiles
-        ctypes.POINTER(ctypes.c_int64),   # out_counts
+        ctypes.POINTER(ctypes.c_int64),   # out_counts (uncapped totals)
         ctypes.c_int64,                   # max_out_per_query
         ctypes.c_int32,                   # n_threads
     ]
     lib.prefilter_query.restype = ctypes.c_int64
     lib.prefilter_query.argtypes = [
-        ctypes.POINTER(ctypes.c_int64),   # sorted_kmers
+        ctypes.POINTER(ctypes.c_int32),   # code_table (20^5+1 offsets)
         ctypes.POINTER(ctypes.c_int32),   # entry_profiles
         ctypes.POINTER(ctypes.c_int32),   # entry_positions
         ctypes.c_int64,                   # n_entries
@@ -82,6 +84,8 @@ def get_library():
         ctypes.POINTER(ctypes.c_int64),   # offsets
         ctypes.POINTER(ctypes.c_int32),   # lengths
         ctypes.c_float,                   # min_ungapped_score
+        ctypes.POINTER(ctypes.c_float),   # subst (20x20; NULL = exact only)
+        ctypes.c_float,                   # kmer_thr
         ctypes.POINTER(ctypes.c_int32),   # out_profiles
         ctypes.c_int64,                   # max_out
     ]
@@ -93,11 +97,22 @@ def _ptr(array: np.ndarray, ctype):
     return array.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def native_prefilter_batch(index, residues_list, db, min_ungapped_score: float, max_out_per_query: int = 8_192, n_threads: int | None = None):
+def native_prefilter_batch(
+    index,
+    residues_list,
+    db,
+    min_ungapped_score: float,
+    max_out_per_query: int = 8_192,
+    n_threads: int | None = None,
+    kmer_thr: float | None = None,
+):
     """Multithreaded batch prefilter over all queries at once.
 
-    Returns a list of per-query candidate-profile arrays, or None when the
-    native library is unavailable.
+    ``kmer_thr``: BLOSUM62 similar-k-mer score threshold for query-side
+    k-mer expansion (ops.blosum.kmer_score_threshold); None = exact k-mers.
+
+    Returns (per-query candidate-profile arrays, total dropped over the
+    max_out_per_query cap), or None when the native library is unavailable.
     """
     lib = get_library()
     if lib is None or not residues_list:
@@ -115,7 +130,7 @@ def native_prefilter_batch(index, residues_list, db, min_ungapped_score: float, 
     np.cumsum([len(r) for r in residues_list], out=residue_offsets[1:])
     residues = np.ascontiguousarray(np.concatenate(residues_list), np.int8)
     codes = np.ascontiguousarray(codes, np.int64)
-    sorted_kmers = np.ascontiguousarray(index.sorted_kmers, np.int64)
+    code_table = np.ascontiguousarray(index.table, np.int32)
     entry_profiles = np.ascontiguousarray(index.profiles, np.int32)
     entry_positions = np.ascontiguousarray(index.positions, np.int32)
     pssm = np.ascontiguousarray(db.pssm, np.float32)
@@ -125,10 +140,10 @@ def native_prefilter_batch(index, residues_list, db, min_ungapped_score: float, 
     out = np.zeros((n_queries, max_out_per_query), np.int32)
     counts = np.zeros(n_queries, np.int64)
     lib.prefilter_batch(
-        _ptr(sorted_kmers, ctypes.c_int64),
+        _ptr(code_table, ctypes.c_int32),
         _ptr(entry_profiles, ctypes.c_int32),
         _ptr(entry_positions, ctypes.c_int32),
-        len(sorted_kmers),
+        len(index.sorted_kmers),
         _ptr(codes, ctypes.c_int64),
         _ptr(code_offsets, ctypes.c_int64),
         _ptr(residues, ctypes.c_int8),
@@ -138,15 +153,36 @@ def native_prefilter_batch(index, residues_list, db, min_ungapped_score: float, 
         _ptr(offsets, ctypes.c_int64),
         _ptr(lengths, ctypes.c_int32),
         float(min_ungapped_score),
+        *_subst_args(kmer_thr),
         _ptr(out, ctypes.c_int32),
         _ptr(counts, ctypes.c_int64),
         max_out_per_query,
         int(n_threads),
     )
-    return [out[q, : counts[q]].copy() for q in range(n_queries)]
+    written = np.minimum(counts, max_out_per_query)
+    dropped = int((counts - written).sum())
+    return [out[q, : written[q]].copy() for q in range(n_queries)], dropped
 
 
-def native_prefilter_query(index, residues, db, min_ungapped_score: float, max_out: int = 100_000):
+def _subst_args(kmer_thr: float | None):
+    """(subst pointer, threshold) ctypes args for the expansion mode."""
+    if kmer_thr is None:
+        return (ctypes.POINTER(ctypes.c_float)(), 1e30)
+    from genomad_tpu.ops.blosum import BLOSUM62
+
+    subst = np.ascontiguousarray(BLOSUM62, np.float32)
+    _subst_args._keepalive = subst  # pin until the call returns
+    return (_ptr(subst, ctypes.c_float), float(kmer_thr))
+
+
+def native_prefilter_query(
+    index,
+    residues,
+    db,
+    min_ungapped_score: float,
+    max_out: int = 100_000,
+    kmer_thr: float | None = None,
+):
     """Native prefilter (see prefilter.cpp). Returns selected profile ids,
     or None when the native library is unavailable."""
     lib = get_library()
@@ -156,7 +192,7 @@ def native_prefilter_query(index, residues, db, min_ungapped_score: float, max_o
 
     codes = np.ascontiguousarray(encode_kmers(residues), np.int64)
     residues = np.ascontiguousarray(residues, np.int8)
-    sorted_kmers = np.ascontiguousarray(index.sorted_kmers, np.int64)
+    code_table = np.ascontiguousarray(index.table, np.int32)
     entry_profiles = np.ascontiguousarray(index.profiles, np.int32)
     entry_positions = np.ascontiguousarray(index.positions, np.int32)
     pssm = np.ascontiguousarray(db.pssm, np.float32)
@@ -164,10 +200,10 @@ def native_prefilter_query(index, residues, db, min_ungapped_score: float, max_o
     lengths = np.ascontiguousarray(db.lengths, np.int32)
     out = np.zeros(max_out, np.int32)
     n = lib.prefilter_query(
-        _ptr(sorted_kmers, ctypes.c_int64),
+        _ptr(code_table, ctypes.c_int32),
         _ptr(entry_profiles, ctypes.c_int32),
         _ptr(entry_positions, ctypes.c_int32),
-        len(sorted_kmers),
+        len(index.sorted_kmers),
         _ptr(codes, ctypes.c_int64),
         len(codes),
         _ptr(residues, ctypes.c_int8),
@@ -176,7 +212,8 @@ def native_prefilter_query(index, residues, db, min_ungapped_score: float, max_o
         _ptr(offsets, ctypes.c_int64),
         _ptr(lengths, ctypes.c_int32),
         float(min_ungapped_score),
+        *_subst_args(kmer_thr),
         _ptr(out, ctypes.c_int32),
         max_out,
     )
-    return out[:n].copy()
+    return out[: min(n, max_out)].copy()

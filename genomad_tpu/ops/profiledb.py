@@ -65,6 +65,11 @@ class ProfileDB:
     taxids: np.ndarray  # (P,) int32
     pssm: np.ndarray  # (total, 20) float32
     offsets: np.ndarray  # (P+1,) int64
+    # Karlin-Altschul parameters fitted to THIS database's null score
+    # distribution (ops.statistics.calibrate_db); None = use the generic
+    # BLOSUM62 fallback constants in ops.protein_search.
+    ka_lambda: float | None = None
+    ka_k: float | None = None
 
     def __post_init__(self):
         self._kmer_index = None
@@ -84,6 +89,9 @@ class ProfileDB:
     # -- persistence --------------------------------------------------------
 
     def save(self, path: Path) -> None:
+        extra = {}
+        if self.ka_lambda is not None:
+            extra["ka_stats"] = np.array([self.ka_lambda, self.ka_k], np.float64)
         np.savez_compressed(
             path,
             names=self.names,
@@ -91,17 +99,21 @@ class ProfileDB:
             taxids=self.taxids,
             pssm=self.pssm,
             offsets=self.offsets,
+            **extra,
         )
 
     @classmethod
     def load(cls, path: Path) -> "ProfileDB":
         with np.load(path, allow_pickle=False) as npz:
+            ka = npz["ka_stats"] if "ka_stats" in npz else (None, None)
             return cls(
                 names=npz["names"],
                 lengths=npz["lengths"].astype(np.int32),
                 taxids=npz["taxids"].astype(np.int32),
                 pssm=npz["pssm"].astype(np.float32),
                 offsets=npz["offsets"].astype(np.int64),
+                ka_lambda=None if ka[0] is None else float(ka[0]),
+                ka_k=None if ka[1] is None else float(ka[1]),
             )
 
     @classmethod
@@ -119,16 +131,31 @@ class ProfileDB:
         return cls(np.asarray(names), lengths, np.asarray(taxids, np.int32), pssm, offsets)
 
     @classmethod
-    def synthetic(cls, seed: int = 0, n_profiles: int = 64, min_len: int = 40, max_len: int = 300) -> "ProfileDB":
+    def synthetic(
+        cls,
+        seed: int = 0,
+        n_profiles: int = 64,
+        min_len: int = 40,
+        max_len: int = 300,
+        residue_freqs=None,
+    ) -> "ProfileDB":
         """Deterministic random DB: each profile strongly prefers one random
         'consensus' sequence (positive score on the consensus residue,
-        negative elsewhere) — a realistic PSSM shape for testing."""
+        negative elsewhere) — a realistic PSSM shape for testing.
+
+        ``residue_freqs``: consensus residue distribution (default uniform;
+        pass ops.statistics.BACKGROUND_FREQS for a composition-realistic DB
+        — uniform consensus over-represents rare high-scoring residues like
+        W/C, which inflates similar-k-mer list sizes ~25x vs real DBs)."""
         rng = np.random.default_rng(seed)
         names, pssms = [], []
         taxids = rng.integers(0, 1000, n_profiles).astype(np.int32)
         for i in range(n_profiles):
             L = int(rng.integers(min_len, max_len + 1))
-            consensus = rng.integers(0, N_AA, L)
+            if residue_freqs is None:  # keep the historical RNG stream
+                consensus = rng.integers(0, N_AA, L)
+            else:
+                consensus = rng.choice(N_AA, L, p=residue_freqs)
             pssm = rng.normal(-2.0, 0.7, (L, N_AA)).astype(np.float32)
             pssm[np.arange(L), consensus] += rng.uniform(5.0, 9.0, L).astype(np.float32)
             names.append(f"GENOMAD.{i:06d}.XX")
@@ -192,8 +219,20 @@ class ProfileDB:
             profiles = np.zeros(0, np.int32)
             positions = np.zeros(0, np.int32)
         order = np.argsort(kmers, kind="stable")
+        sorted_kmers = kmers[order]
+        # direct offset table over the full code space (20^5 + 1 entries):
+        # entry range of code c is [table[c], table[c+1]) — O(1) lookup, no
+        # binary search, which is what makes query-side similar-k-mer
+        # expansion affordable (each expanded k-mer costs one load)
+        n_codes = N_AA**KMER_K
+        table = np.zeros(n_codes + 1, np.int32)  # int32: halves the random-
+        # access footprint in the native DFS (entry counts are << 2^31)
+        np.cumsum(np.bincount(sorted_kmers, minlength=n_codes), out=table[1:])
         index = _KmerIndex(
-            sorted_kmers=kmers[order], profiles=profiles[order], positions=positions[order]
+            sorted_kmers=sorted_kmers,
+            profiles=profiles[order],
+            positions=positions[order],
+            table=table,
         )
         self._kmer_index = (top_residues, index)
         return index
@@ -230,11 +269,14 @@ class ProfileDB:
     def shard(self, n_shards: int, shard_index: int) -> "ProfileDB":
         """Contiguous shard of the DB (device-side DB parallelism)."""
         ids = np.arange(self.n_profiles)[shard_index::n_shards]
-        return ProfileDB.from_profiles(
+        out = ProfileDB.from_profiles(
             self.names[ids],
             [self.profile(i) for i in ids],
             self.taxids[ids],
         )
+        # statistics are a whole-DB property: shards must score identically
+        out.ka_lambda, out.ka_k = self.ka_lambda, self.ka_k
+        return out
 
 
 @dataclass
@@ -242,12 +284,11 @@ class _KmerIndex:
     sorted_kmers: np.ndarray  # (E,) int64, ascending
     profiles: np.ndarray  # (E,) int32
     positions: np.ndarray  # (E,) int32
+    table: np.ndarray  # (20^k + 1,) int64 direct offset table
 
     def lookup(self, codes: np.ndarray):
         """For each query k-mer code, the range of matching entries.
 
         Returns (starts, ends) arrays aligned with ``codes``.
         """
-        starts = np.searchsorted(self.sorted_kmers, codes, side="left")
-        ends = np.searchsorted(self.sorted_kmers, codes, side="right")
-        return starts, ends
+        return self.table[codes], self.table[codes + 1]

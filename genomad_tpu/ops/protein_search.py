@@ -8,8 +8,9 @@ Replaces the reference's 8-command MMseqs2 subprocess chain
      are scored by maximal ungapped diagonal extension (cumsum/cummin max-
      subarray, no scalar loops) and gated at ``min_ungapped_score`` (default
      25, the reference's ``--min-ungapped-score``; k=5 as ``-k 5``).
-     DB-side top-N residue expansion is the sensitivity analog of MMseqs2's
-     query-side similar-k-mer lists (``-s``).
+     Sensitivity (``-s``) follows MMseqs2's actual semantics: each query
+     k-mer expands into its BLOSUM62 similar-k-mer list (ops.blosum), with
+     the score threshold a linear function of ``-s``.
 
   2. **Alignment** (device, JAX): batched affine-gap local Smith-Waterman of
      query residues against profile PSSMs. The kernel is a lax.scan over
@@ -175,7 +176,15 @@ _INT32_MAX = np.iinfo(np.int32).max
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "evalue_threshold", "min_qcov", "db_positions")
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "evalue_threshold",
+        "min_qcov",
+        "db_positions",
+        "ka_lambda",
+        "ka_k",
+    ),
 )
 def _sharded_pair_best(
     mesh,
@@ -188,6 +197,8 @@ def _sharded_pair_best(
     evalue_threshold: float,
     min_qcov: float,
     db_positions: int,
+    ka_lambda: float = KA_LAMBDA,
+    ka_k: float = KA_K,
 ):
     """ONE jitted DB-sharded search program: SW pair stats, E-value and
     coverage gates, and the per-query best-hit merge all on device.
@@ -217,7 +228,7 @@ def _sharded_pair_best(
         stats = _pair_stats_ops(q, p)
         score, end_i, start_i = stats[:, 0], stats[:, 1], stats[:, 3]
         qlen = jnp.take(q_lengths, idx[0]).astype(jnp.float32)
-        bits = (KA_LAMBDA * score - jnp.log(KA_K)) / LN2
+        bits = (ka_lambda * score - jnp.log(ka_k)) / LN2
         ev = qlen * db_positions * jnp.exp2(-bits)
         qcov = (end_i - start_i + 1.0) / qlen
         keep = valid & (ev <= evalue_threshold) & (qcov >= min_qcov)
@@ -291,12 +302,14 @@ def sw_align(queries: np.ndarray, profiles: np.ndarray, compute_starts: bool = F
     return out
 
 
-def bitscore(raw_score) -> np.ndarray:
-    return (KA_LAMBDA * np.asarray(raw_score) - np.log(KA_K)) / LN2
+def bitscore(raw_score, lam: float = KA_LAMBDA, k: float = KA_K) -> np.ndarray:
+    return (lam * np.asarray(raw_score) - np.log(k)) / LN2
 
 
-def evalue(raw_score, query_length, db_positions) -> np.ndarray:
-    return query_length * db_positions * np.power(2.0, -bitscore(raw_score))
+def evalue(
+    raw_score, query_length, db_positions, lam: float = KA_LAMBDA, k: float = KA_K
+) -> np.ndarray:
+    return query_length * db_positions * np.power(2.0, -bitscore(raw_score, lam, k))
 
 
 # ---------------------------------------------------------------------------
@@ -321,16 +334,42 @@ def prefilter_query(
     index,
     min_ungapped_score: float = 25.0,
     max_candidates: int = 4000,
+    kmer_thr: float | None = None,
+    expansion_cache: dict | None = None,
+    drops: list | None = None,
 ) -> np.ndarray:
     """Candidate profile ids for one query (sorted, deduplicated).
 
-    Pipeline: query k-mers -> inverted-index ranges -> (profile, diagonal)
-    hits -> ungapped diagonal max-subarray score -> gate.
+    Pipeline: query k-mers [-> similar-k-mer expansion] -> inverted-index
+    ranges -> (profile, diagonal) hits -> ungapped diagonal max-subarray
+    score -> gate.
+
+    ``kmer_thr``: BLOSUM62 score threshold for query-side similar-k-mer
+    expansion (MMseqs2 ``-s`` semantics, see ops.blosum); None = exact
+    k-mers only. ``expansion_cache``: shared {code: similar codes} memo
+    across queries of one search. ``drops``: when given, the number of
+    candidates dropped over ``max_candidates`` is appended (the caller
+    logs it — truncation is never silent).
     """
     codes = encode_kmers(residues)
     qpos_all = np.arange(len(codes), dtype=np.int64)
     valid = codes >= 0
     codes, qpos_all = codes[valid], qpos_all[valid]
+    if kmer_thr is not None and len(codes):
+        from genomad_tpu.ops import blosum
+
+        cache = expansion_cache if expansion_cache is not None else {}
+        exp_codes, exp_qpos = [], []
+        windows = np.lib.stride_tricks.sliding_window_view(residues, KMER_K)
+        for code, q in zip(codes, qpos_all):
+            sim = cache.get(code)
+            if sim is None:
+                sim = blosum.similar_kmers(windows[q], kmer_thr)[0]
+                cache[code] = sim
+            exp_codes.append(sim)
+            exp_qpos.append(np.full(len(sim), q, np.int64))
+        codes = np.concatenate(exp_codes) if exp_codes else codes
+        qpos_all = np.concatenate(exp_qpos) if exp_qpos else qpos_all
     if not len(codes):
         return np.zeros(0, np.int32)
     starts, ends = index.lookup(codes)
@@ -348,14 +387,17 @@ def prefilter_query(
     # unique (profile, diagonal) candidates
     max_diag = Lq + int(db.lengths.max()) + 1
     keys = hit_profile.astype(np.int64) * max_diag + diag
-    uniq_keys = np.unique(keys)
+    uniq_keys, key_counts = np.unique(keys, return_counts=True)
+    if kmer_thr is not None:
+        # double-k-mer-match criterion (MMseqs2): in expansion mode a
+        # diagonal needs >= 2 hits before it is extended — similar-k-mer
+        # lists generate single-hit noise diagonals in bulk
+        keep2 = key_counts >= 2
+        uniq_keys, key_counts = uniq_keys[keep2], key_counts[keep2]
     cand_profile = (uniq_keys // max_diag).astype(np.int32)
     cand_diag = (uniq_keys % max_diag).astype(np.int64) - Lq
     if len(uniq_keys) > max_candidates * 4:
         # keep diagonals with the most k-mer hits to bound the gather below
-        key_counts = np.searchsorted(np.sort(keys), uniq_keys, side="right") - np.searchsorted(
-            np.sort(keys), uniq_keys, side="left"
-        )
         top = np.argsort(key_counts)[::-1][: max_candidates * 4]
         cand_profile, cand_diag = cand_profile[np.sort(top)], cand_diag[np.sort(top)]
     # ungapped extension along each candidate diagonal
@@ -380,13 +422,18 @@ def prefilter_query(
     ungapped = _max_subarray(scores)
     selected = np.unique(cand_profile[ungapped >= min_ungapped_score])
     if len(selected) > max_candidates:
-        # keep the best-scoring profiles
+        # keep the best-scoring profiles; the excess is reported via
+        # ``drops`` (and logged by the caller), never silently discarded
+        if drops is not None:
+            drops.append(len(selected) - max_candidates)
         best_per_profile = {}
         for p, s in zip(cand_profile, ungapped):
             if s >= min_ungapped_score and s > best_per_profile.get(p, -1):
                 best_per_profile[p] = s
         selected = np.array(
-            sorted(best_per_profile, key=lambda p: -best_per_profile[p])[:max_candidates],
+            sorted(best_per_profile, key=lambda p: (-best_per_profile[p], p))[
+                :max_candidates
+            ],
             dtype=np.int32,
         )
         selected.sort()
@@ -436,21 +483,27 @@ def search(
     batch_size: int = 512,
     mesh=None,
     db_positions: int | None = None,
+    max_seqs: int = 300,
 ) -> dict:
     """Full search: prefilter -> batched SW -> coverage filter -> best hit.
 
     Returns {query_name: (target, evalue, bitscore, taxid)} — the contract
     of MMseqs2.get_matches() (genomad/mmseqs2.py:198-212).
 
-    sensitivity maps to the DB-side k-mer expansion: < 6 uses consensus
-    k-mers only (top-1 residue), >= 6 indexes the top-2 residues per column
-    (the integrase search runs at 8.2 — reference cli.py:592-599).
+    sensitivity maps to the query-side similar-k-mer score threshold
+    (blosum.kmer_score_threshold): higher ``-s`` lowers the bar and grows
+    the per-position k-mer lists, exactly MMseqs2's ``-s`` mechanism (the
+    integrase search runs at 8.2 — reference cli.py:592-599).
 
     With a mesh whose 'db' axis is > 1, stage 2 runs as ONE jitted
     DB-sharded program per operand bucket (profiles sharded over 'db',
     best-hit merge as an on-device allreduce) — see _sharded_pair_best.
     """
     residues_list = [profiledb.encode_protein(s) for s in query_seqs]
+    # Karlin-Altschul parameters: the DB's calibrated fit when present
+    # (ops.statistics.calibrate_db), else the generic BLOSUM62 constants.
+    lam = db.ka_lambda if getattr(db, "ka_lambda", None) else KA_LAMBDA
+    kk = db.ka_k if getattr(db, "ka_k", None) else KA_K
     # db_positions: the search-space size for Karlin-Altschul statistics.
     # Shard searches must pass the FULL database size so E-values (and the
     # E-value gate) are shard-count-invariant, exactly as MMseqs2 corrects
@@ -459,22 +512,61 @@ def search(
         db_positions = max(db.total_positions, 1)
 
     # ---- stage 1: candidate pairs ----
+    # Small DBs skip the prefilter entirely: batched device SW against a few
+    # hundred profiles costs less than host k-mer expansion (this covers the
+    # integrase DB, whose s=8.2 would otherwise build ~10^4-entry similar
+    # k-mer lists per query position).
     pairs_q, pairs_p = [], []
-    if skip_prefilter or db.n_profiles <= 64:
+    if skip_prefilter or db.n_profiles <= 256:
         for qi in range(len(residues_list)):
             pairs_q.extend([qi] * db.n_profiles)
             pairs_p.extend(range(db.n_profiles))
     else:
         from genomad_tpu import native
+        from genomad_tpu.ops import blosum
 
-        top_residues = 1 if sensitivity < 6 else 2
-        index = db.kmer_index(top_residues)
-        batch_cands = native.native_prefilter_batch(index, residues_list, db, min_ungapped_score)
-        if batch_cands is None:  # no C++ toolchain: numpy fallback
+        kmer_thr = blosum.kmer_score_threshold(sensitivity)
+        index = db.kmer_index(1)  # consensus k-mers; sensitivity is query-side
+        n_dropped = 0
+        # max_seqs: candidates per query are capped to the top-``max_seqs``
+        # by ungapped prefilter score — MMseqs2's --max-seqs (default 300),
+        # which the reference search runs with (mmseqs2.py:76-96 passes no
+        # override). The cap is logged, never silent.
+        result = native.native_prefilter_batch(
+            index,
+            residues_list,
+            db,
+            min_ungapped_score,
+            kmer_thr=kmer_thr,
+            max_out_per_query=max_seqs,
+        )
+        if result is None:  # no C++ toolchain: numpy fallback
+            cache: dict = {}
+            drop_list: list = []
             batch_cands = [
-                prefilter_query(residues, db, index, min_ungapped_score)
+                prefilter_query(
+                    residues,
+                    db,
+                    index,
+                    min_ungapped_score,
+                    max_candidates=max_seqs,
+                    kmer_thr=kmer_thr,
+                    expansion_cache=cache,
+                    drops=drop_list,
+                )
                 for residues in residues_list
             ]
+            n_dropped = sum(drop_list)
+        else:
+            batch_cands, n_dropped = result
+        if n_dropped:
+            import warnings
+
+            warnings.warn(
+                f"prefilter: kept the top {max_seqs} candidates per query "
+                f"by ungapped score (--max-seqs semantics); {n_dropped} "
+                "weaker candidates dropped across the batch"
+            )
         for qi, cands in enumerate(batch_cands):
             pairs_q.extend([qi] * len(cands))
             pairs_p.extend(cands.tolist())
@@ -547,6 +639,8 @@ def search(
             evalue_threshold,
             min_qcov,
             db_positions,
+            lam,
+            kk,
         )
 
     pending = []  # (pair_indices, device stats array)
@@ -572,11 +666,11 @@ def search(
     for chunk, stats_dev in pending:
         stats = np.asarray(stats_dev)[: len(chunk)]
         score, end_i, start_i = stats[:, 0], stats[:, 1], stats[:, 3]
-        e_vals = evalue(score, q_lengths[pairs_q[chunk]], db_positions)
+        e_vals = evalue(score, q_lengths[pairs_q[chunk]], db_positions, lam, kk)
         qcov = (end_i - start_i + 1) / q_lengths[pairs_q[chunk]]
         keep = (e_vals <= evalue_threshold) & (qcov >= min_qcov)
         all_pairs.append(chunk[keep])
-        all_bits.append(bitscore(score[keep]))
+        all_bits.append(bitscore(score[keep], lam, kk))
         all_ev.append(e_vals[keep])
 
     pair_idx = np.concatenate(all_pairs) if all_pairs else np.zeros(0, np.int64)
@@ -616,6 +710,8 @@ def _stage2_sharded(
     evalue_threshold,
     min_qcov,
     db_positions,
+    lam=KA_LAMBDA,
+    kk=KA_K,
 ) -> dict:
     """Device-sharded stage 2: route candidate pairs to the device owning
     their profile shard and run _sharded_pair_best per operand bucket.
@@ -701,6 +797,8 @@ def _stage2_sharded(
                     float(evalue_threshold),
                     float(min_qcov),
                     int(db_positions),
+                    ka_lambda=float(lam),
+                    ka_k=float(kk),
                 )
                 results.append((best_s, best_g))
 
@@ -724,8 +822,8 @@ def _stage2_sharded(
         gid = int(best_gid[qi])
         out[query_names[qi]] = (
             str(db.names[gid]),
-            float(evalue(raw, q_lengths[qi], db_positions)),
-            int(round(float(bitscore(raw)))),
+            float(evalue(raw, q_lengths[qi], db_positions, lam, kk)),
+            int(round(float(bitscore(raw, lam, kk)))),
             int(db.taxids[gid]) if db.taxids[gid] > 0 else 1,
         )
     return out

@@ -38,11 +38,57 @@ def test_native_batch_matches_single(lib, rng):
     index = db.kmer_index(1)
     residues_list = [db.consensus(t)[:80] for t in (2, 9, 33)]
     residues_list.append(rng.integers(0, 20, 70).astype(np.int8))
-    batch = native.native_prefilter_batch(index, residues_list, db, 25.0, n_threads=2)
-    assert batch is not None
+    batch, dropped = native.native_prefilter_batch(index, residues_list, db, 25.0, n_threads=2)
+    assert dropped == 0
     for residues, got in zip(residues_list, batch):
         single = native.native_prefilter_query(index, residues, db, 25.0)
         np.testing.assert_array_equal(np.sort(got), np.sort(single))
+
+
+def test_native_expansion_matches_numpy(lib, rng):
+    """Query-side similar-k-mer expansion: the C++ DFS and the Python
+    branch-and-bound (ops.blosum.similar_kmers) select identical candidate
+    sets at several sensitivity thresholds."""
+    from genomad_tpu.ops.blosum import kmer_score_threshold
+
+    db = ProfileDB.synthetic(seed=77, n_profiles=50, min_len=60, max_len=140)
+    index = db.kmer_index(1)
+    for s in (1.0, 4.2, 8.2):
+        thr = kmer_score_threshold(s)
+        for target in (3, 21):
+            residues = db.consensus(target)[:70]
+            expected = protein_search.prefilter_query(
+                residues, db, index, 25.0, kmer_thr=thr
+            )
+            got = native.native_prefilter_query(index, residues, db, 25.0, kmer_thr=thr)
+            np.testing.assert_array_equal(np.sort(got), np.sort(expected))
+        noise = rng.integers(0, 20, 80).astype(np.int8)
+        expected = protein_search.prefilter_query(noise, db, index, 25.0, kmer_thr=thr)
+        got = native.native_prefilter_query(index, noise, db, 25.0, kmer_thr=thr)
+        np.testing.assert_array_equal(np.sort(got), np.sort(expected))
+
+
+def test_expansion_recall_grows_with_sensitivity(rng):
+    """A mutated query missed by exact consensus k-mers is recovered once
+    the similar-k-mer lists grow (the MMseqs2 ``-s`` recall mechanism)."""
+    from genomad_tpu.ops.blosum import kmer_score_threshold
+
+    db = ProfileDB.synthetic(seed=13, n_profiles=40, min_len=80, max_len=160)
+    index = db.kmer_index(1)
+    hits_by_s = {}
+    for s in (1.0, 4.2, 8.2):
+        thr = kmer_score_threshold(s)
+        n_hits = 0
+        for target in range(12):
+            residues = db.consensus(target)[:80].copy()
+            residues[::2] = (residues[::2] + 7) % 20  # mutate every 2nd residue
+            cands = protein_search.prefilter_query(
+                residues, db, index, 25.0, kmer_thr=thr
+            )
+            n_hits += int(target in cands)
+        hits_by_s[s] = n_hits
+    assert hits_by_s[8.2] >= hits_by_s[4.2] >= hits_by_s[1.0]
+    assert hits_by_s[8.2] > hits_by_s[1.0]
 
 
 def test_native_handles_unknown_residues(lib):

@@ -23,12 +23,22 @@ from genomad_tpu.ops.profiledb import ALPHABET, N_AA, ProfileDB  # noqa: E402
 def main(n_profiles: int = 20_000, n_queries: int = 500) -> None:
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    cache = Path(f"/tmp/genomad_tpu_bench_db_{n_profiles}.npz")
+    cache = Path(f"/tmp/genomad_tpu_bench_db_bg_{n_profiles}.npz")
     if cache.exists():
         db = ProfileDB.load(cache)
         src = f"loaded from {cache}"
     else:
-        db = ProfileDB.synthetic(seed=1, n_profiles=n_profiles, min_len=60, max_len=400)
+        from genomad_tpu.ops.statistics import BACKGROUND_FREQS
+
+        # background consensus composition: representative of real profile
+        # DBs (uniform would inflate similar-k-mer expansion ~25x)
+        db = ProfileDB.synthetic(
+            seed=1,
+            n_profiles=n_profiles,
+            min_len=60,
+            max_len=400,
+            residue_freqs=BACKGROUND_FREQS,
+        )
         db.save(cache)
         src = "built"
     print(f"DB: {db.n_profiles} profiles, {db.total_positions:,} positions "
