@@ -49,3 +49,38 @@ def test_pallas_batch_padding(rng):
         jnp.asarray(queries), jnp.asarray(profiles), tile_b=4, interpret=True
     )
     assert got_best.shape == (5,)
+
+
+def test_flash_kernel_matches_lax_kernel(rng):
+    """Row-block staged (flash-style) kernel: bit parity with the scan
+    kernel, including Lq padding to the row-block size."""
+    queries, profiles = make_batch(rng, B=6, Lq=40, Lp=48)
+    import jax.numpy as jnp
+
+    ref_best, ref_i, ref_j = protein_search._sw_forward(
+        jnp.asarray(queries), jnp.asarray(profiles)
+    )
+    got_best, got_i, got_j = sw_pallas.sw_forward_pallas_flash(
+        jnp.asarray(queries), jnp.asarray(profiles),
+        tile_b=4, row_block=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_best), np.asarray(ref_best), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    np.testing.assert_array_equal(np.asarray(got_j), np.asarray(ref_j))
+
+
+def test_flash_t_kernel_matches_lax_kernel(rng):
+    """Transposed-q flash kernel parity (interpret mode)."""
+    queries, profiles = make_batch(rng, B=10, Lq=40, Lp=48)
+    import jax.numpy as jnp
+
+    ref_best, ref_i, ref_j = protein_search._sw_forward(
+        jnp.asarray(queries), jnp.asarray(profiles)
+    )
+    got_best, got_i, got_j = sw_pallas.sw_forward_pallas_flash_t(
+        jnp.asarray(queries), jnp.asarray(profiles),
+        tile_b=4, row_block=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_best), np.asarray(ref_best), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    np.testing.assert_array_equal(np.asarray(got_j), np.asarray(ref_j))
