@@ -52,7 +52,29 @@ def _classify_fasta(fasta_path, cache_dir, cache_npz, id_key, single_window, bat
     params = weights.load_params(console)
     forward = igloo.make_forward_bases(params)
     with console.timer("nn-inference"):
-        window_preds = nn_pipeline.predict_windows(forward, bases, batch_size, mesh)
+        # batch progress display with time-remaining, matching the
+        # reference's NN prediction bar (nn_classification.py:300-318)
+        if console.verbose and getattr(console, "_rich", None) is not None:
+            import rich.progress
+
+            with rich.progress.Progress(
+                rich.progress.TextColumn("[progress.description]{task.description}"),
+                rich.progress.BarColumn(),
+                rich.progress.MofNCompleteColumn(),
+                rich.progress.TimeRemainingColumn(),
+                console=console._rich,
+                transient=True,
+            ) as bar:
+                task = bar.add_task("Classifying windows", total=1)
+
+                def progress(done, total):
+                    bar.update(task, completed=done, total=total)
+
+                window_preds = nn_pipeline.predict_windows(
+                    forward, bases, batch_size, mesh, progress=progress
+                )
+        else:
+            window_preds = nn_pipeline.predict_windows(forward, bases, batch_size, mesh)
     predictions = nn_pipeline.segment_mean(window_preds, ids, len(names))
     return names, predictions
 

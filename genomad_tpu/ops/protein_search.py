@@ -153,23 +153,36 @@ def _pair_stats_ops(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@jax.jit
-def _sw_pair_stats(all_q: jnp.ndarray, all_p21: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("lam", "kk", "db_positions"))
+def _sw_pair_stats(
+    all_q: jnp.ndarray,
+    all_p21: jnp.ndarray,
+    q_lengths: jnp.ndarray,
+    idx: jnp.ndarray,
+    lam: float = KA_LAMBDA,
+    kk: float = KA_K,
+    db_positions: int = 1,
+) -> jnp.ndarray:
     """One-dispatch SW statistics for a batch of (query, profile) pairs.
 
-    Operand assembly, the forward pass, the alignment-start reversal, and
-    the reverse pass all happen on device so a pair batch costs exactly one
-    host->device transfer (the (2, N) index array) and one device->host
-    transfer (the (N, 5) result) — transfer round-trips, not compute,
-    dominate when the device is reached through a network tunnel.
+    Operand assembly, the forward pass, the alignment-start reversal, the
+    reverse pass, and the f32 gate columns all happen on device so a pair
+    batch costs exactly one host->device transfer (the (2, N) index array)
+    and one device->host transfer (the (N, 7) result) — transfer
+    round-trips, not compute, dominate when the device is reached through a
+    network tunnel.
 
     all_q: (nq, Lq) staged padded queries; all_p21: (np, Lp, 21) staged
-    padded profiles; idx: (2, N) int32 rows into each.
-    Returns (N, 5) f32: score, end_i, end_j, start_i, start_j.
+    padded profiles; q_lengths: (nq,) f32; idx: (2, N) int32 rows into each.
+    Returns (N, 7) f32: score, end_i, end_j, start_i, start_j, evalue32,
+    qcov32 (the last two from _gate_cols — identical to the sharded gate).
     """
     q = jnp.take(all_q, idx[0], axis=0)
     p = jnp.take(all_p21, idx[1], axis=0)
-    return _pair_stats_ops(q, p)
+    stats = _pair_stats_ops(q, p)
+    qlen = jnp.take(q_lengths, idx[0]).astype(jnp.float32)
+    ev, qcov = _gate_cols(stats[:, 0], stats[:, 1], stats[:, 3], qlen, lam, kk, db_positions)
+    return jnp.concatenate([stats, ev[:, None], qcov[:, None]], axis=1)
 
 
 _INT32_MAX = np.iinfo(np.int32).max
@@ -226,11 +239,11 @@ def _sharded_pair_best(
         q = jnp.take(all_q, idx[0], axis=0)
         p = jnp.take(p_loc, idx[1], axis=0)
         stats = _pair_stats_ops(q, p)
-        score, end_i, start_i = stats[:, 0], stats[:, 1], stats[:, 3]
+        score = stats[:, 0]
         qlen = jnp.take(q_lengths, idx[0]).astype(jnp.float32)
-        bits = (ka_lambda * score - jnp.log(ka_k)) / LN2
-        ev = qlen * db_positions * jnp.exp2(-bits)
-        qcov = (end_i - start_i + 1.0) / qlen
+        ev, qcov = _gate_cols(
+            score, stats[:, 1], stats[:, 3], qlen, ka_lambda, ka_k, db_positions
+        )
         keep = valid & (ev <= evalue_threshold) & (qcov >= min_qcov)
         skey = jnp.where(keep, score, -jnp.inf)
         seg_best = jax.ops.segment_max(skey, idx[0], num_segments=nq)
@@ -304,6 +317,22 @@ def sw_align(queries: np.ndarray, profiles: np.ndarray, compute_starts: bool = F
 
 def bitscore(raw_score, lam: float = KA_LAMBDA, k: float = KA_K) -> np.ndarray:
     return (lam * np.asarray(raw_score) - np.log(k)) / LN2
+
+
+def _gate_cols(score, end_i, start_i, qlen, lam, kk, db_positions):
+    """float32 E-value + query-coverage columns — the SINGLE on-device gate
+    implementation shared by the single-device and DB-sharded paths, so
+    threshold-edge pairs pass or fail identically on both (they previously
+    diverged: host gated in f64, device in f32). Reported winner values are
+    still recomputed in f64 from the raw score by both paths.
+
+    score/end_i/start_i/qlen: (N,) f32 traced; lam/kk/db_positions: static.
+    """
+    logk = float(np.log(np.float32(kk), dtype=np.float32))
+    bits = (float(lam) * score - logk) / LN2
+    ev = qlen * float(db_positions) * jnp.exp2(-bits)
+    qcov = (end_i - start_i + 1.0) / qlen
+    return ev, qcov
 
 
 def evalue(
@@ -483,7 +512,7 @@ def search(
     batch_size: int = 512,
     mesh=None,
     db_positions: int | None = None,
-    max_seqs: int = 300,
+    max_seqs: int = 10_000_000,
 ) -> dict:
     """Full search: prefilter -> batched SW -> coverage filter -> best hit.
 
@@ -529,16 +558,21 @@ def search(
         index = db.kmer_index(1)  # consensus k-mers; sensitivity is query-side
         n_dropped = 0
         # max_seqs: candidates per query are capped to the top-``max_seqs``
-        # by ungapped prefilter score — MMseqs2's --max-seqs (default 300),
-        # which the reference search runs with (mmseqs2.py:76-96 passes no
-        # override). The cap is logged, never silent.
+        # by ungapped prefilter score — MMseqs2's --max-seqs. The reference
+        # passes ``--max-seqs 10000000`` (effectively uncapped,
+        # genomad/mmseqs2.py:90-91), which is this function's default; any
+        # overflow past the cap is logged, never silent.
+        # a query can select at most n_profiles candidates, so the output
+        # buffer bound never needs to exceed it — with the reference's
+        # 10M default the cap is therefore never hit (zero drops)
+        out_bound = min(int(max_seqs), db.n_profiles)
         result = native.native_prefilter_batch(
             index,
             residues_list,
             db,
             min_ungapped_score,
             kmer_thr=kmer_thr,
-            max_out_per_query=max_seqs,
+            max_out_per_query=out_bound,
         )
         if result is None:  # no C++ toolchain: numpy fallback
             cache: dict = {}
@@ -549,7 +583,7 @@ def search(
                     db,
                     index,
                     min_ungapped_score,
-                    max_candidates=max_seqs,
+                    max_candidates=out_bound,
                     kmer_thr=kmer_thr,
                     expansion_cache=cache,
                     drops=drop_list,
@@ -647,6 +681,9 @@ def search(
     max_chunk = max(batch_size, 8192)
     for qb_i in np.unique(qb):
         all_q_dev = jnp.asarray(get_padded_queries(qb_i))  # staged per bucket
+        qlen_pad = np.ones(all_q_dev.shape[0], np.float32)
+        qlen_pad[: len(q_lengths)] = q_lengths
+        qlen_dev = jnp.asarray(qlen_pad)
         for pb_i in np.unique(pb[qb == qb_i]):
             sel = np.where((qb == qb_i) & (pb == pb_i))[0]
             p_ids, all_p21_dev = get_staged_profiles(pb_i)
@@ -658,20 +695,30 @@ def search(
                 idx = np.zeros((2, n_pad), np.int32)
                 idx[0, : len(chunk)] = pairs_q[chunk]
                 idx[1, : len(chunk)] = np.searchsorted(p_ids, pairs_p[chunk])
-                stats_dev = _sw_pair_stats(all_q_dev, all_p21_dev, jnp.asarray(idx))
+                stats_dev = _sw_pair_stats(
+                    all_q_dev,
+                    all_p21_dev,
+                    qlen_dev,
+                    jnp.asarray(idx),
+                    lam=float(lam),
+                    kk=float(kk),
+                    db_positions=int(db_positions),
+                )
                 pending.append((chunk, stats_dev))
 
-    # single sync pass + vectorized filters
+    # single sync pass + vectorized filters. The gate columns were computed
+    # on device by the same _gate_cols the sharded path uses, so both paths
+    # accept identical pair sets; reported values for winners are
+    # recomputed in f64 below, as the sharded path does.
     all_pairs, all_bits, all_ev = [], [], []
     for chunk, stats_dev in pending:
         stats = np.asarray(stats_dev)[: len(chunk)]
-        score, end_i, start_i = stats[:, 0], stats[:, 1], stats[:, 3]
-        e_vals = evalue(score, q_lengths[pairs_q[chunk]], db_positions, lam, kk)
-        qcov = (end_i - start_i + 1) / q_lengths[pairs_q[chunk]]
-        keep = (e_vals <= evalue_threshold) & (qcov >= min_qcov)
+        score, ev32, qcov32 = stats[:, 0], stats[:, 5], stats[:, 6]
+        qlen = q_lengths[pairs_q[chunk]]
+        keep = (ev32 <= np.float32(evalue_threshold)) & (qcov32 >= np.float32(min_qcov))
         all_pairs.append(chunk[keep])
         all_bits.append(bitscore(score[keep], lam, kk))
-        all_ev.append(e_vals[keep])
+        all_ev.append(evalue(score[keep], qlen[keep], db_positions, lam, kk))
 
     pair_idx = np.concatenate(all_pairs) if all_pairs else np.zeros(0, np.int64)
     if not len(pair_idx):

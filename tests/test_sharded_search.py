@@ -86,6 +86,34 @@ def test_production_search_sharded_matches_host():
         assert_hits_equivalent(got, reference)
 
 
+def test_gate_threshold_edge_consistency():
+    """E-value-marginal pairs pass or fail IDENTICALLY on the host and
+    DB-sharded paths: both gate through the same on-device f32 _gate_cols.
+
+    The threshold sweep pins the gate to each hit's own E-value (exactly
+    at, just below, just above), so at least one sweep point sits within
+    float32 rounding of the accept/reject boundary — the regime where the
+    old f64-host/f32-device split produced path-dependent results."""
+    from genomad_tpu.ops import protein_search
+
+    db = ProfileDB.synthetic(seed=23, n_profiles=64, min_len=60, max_len=120)
+    names, seqs = _make_queries(db, 8, seed=9)
+    base = protein_search.search(names, seqs, db, evalue_threshold=1e3)
+    assert base, "expected hits at a permissive threshold"
+    mesh = meshlib.make_mesh(n_data=2, n_db=4)
+    evs = sorted(ev for (_, ev, _, _) in base.values())
+    for ev in evs[:2]:
+        for thr in (ev * (1 - 1e-6), ev, ev * (1 + 1e-6)):
+            host = protein_search.search(names, seqs, db, evalue_threshold=thr)
+            shard = protein_search.search(
+                names, seqs, db, mesh=mesh, evalue_threshold=thr
+            )
+            assert host.keys() == shard.keys(), f"thr={thr!r}"
+            for q in host:
+                assert host[q][0] == shard[q][0], f"thr={thr!r} {q}"
+                assert host[q][2] == shard[q][2], f"thr={thr!r} {q}"
+
+
 def test_production_search_sharded_matches_host_loop():
     """The legacy host shard loop (search_sharded) and the device-sharded
     path implement the same merge semantics."""
