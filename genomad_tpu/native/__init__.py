@@ -24,7 +24,7 @@ def _build() -> bool:
     sources = [str(_DIR / "prefilter.cpp")]
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        *sources, "-o", str(_LIB_PATH),
+        "-pthread", *sources, "-o", str(_LIB_PATH),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -66,6 +66,7 @@ def get_library():
         ctypes.POINTER(ctypes.c_float),   # subst (20x20; NULL = exact only)
         ctypes.c_float,                   # kmer_thr
         ctypes.POINTER(ctypes.c_int32),   # out_profiles
+        ctypes.POINTER(ctypes.c_float),   # out_scores (NULL = discard)
         ctypes.POINTER(ctypes.c_int64),   # out_counts (uncapped totals)
         ctypes.c_int64,                   # max_out_per_query
         ctypes.c_int32,                   # n_threads
@@ -87,6 +88,7 @@ def get_library():
         ctypes.POINTER(ctypes.c_float),   # subst (20x20; NULL = exact only)
         ctypes.c_float,                   # kmer_thr
         ctypes.POINTER(ctypes.c_int32),   # out_profiles
+        ctypes.POINTER(ctypes.c_float),   # out_scores (NULL = discard)
         ctypes.c_int64,                   # max_out
     ]
     _lib = lib
@@ -111,8 +113,10 @@ def native_prefilter_batch(
     ``kmer_thr``: BLOSUM62 similar-k-mer score threshold for query-side
     k-mer expansion (ops.blosum.kmer_score_threshold); None = exact k-mers.
 
-    Returns (per-query candidate-profile arrays, total dropped over the
-    max_out_per_query cap), or None when the native library is unavailable.
+    Returns (per-query candidate id arrays sorted by ungapped score
+    descending, per-query score arrays in the same order, total dropped
+    over the max_out_per_query cap), or None when the native library is
+    unavailable.
     """
     lib = get_library()
     if lib is None or not residues_list:
@@ -138,6 +142,7 @@ def native_prefilter_batch(
     lengths = np.ascontiguousarray(db.lengths, np.int32)
     n_queries = len(residues_list)
     out = np.zeros((n_queries, max_out_per_query), np.int32)
+    out_scores = np.zeros((n_queries, max_out_per_query), np.float32)
     counts = np.zeros(n_queries, np.int64)
     lib.prefilter_batch(
         _ptr(code_table, ctypes.c_int32),
@@ -155,13 +160,16 @@ def native_prefilter_batch(
         float(min_ungapped_score),
         *_subst_args(kmer_thr),
         _ptr(out, ctypes.c_int32),
+        _ptr(out_scores, ctypes.c_float),
         _ptr(counts, ctypes.c_int64),
         max_out_per_query,
         int(n_threads),
     )
     written = np.minimum(counts, max_out_per_query)
     dropped = int((counts - written).sum())
-    return [out[q, : written[q]].copy() for q in range(n_queries)], dropped
+    ids = [out[q, : written[q]].copy() for q in range(n_queries)]
+    scores = [out_scores[q, : written[q]].copy() for q in range(n_queries)]
+    return ids, scores, dropped
 
 
 def _subst_args(kmer_thr: float | None):
@@ -183,8 +191,9 @@ def native_prefilter_query(
     max_out: int = 100_000,
     kmer_thr: float | None = None,
 ):
-    """Native prefilter (see prefilter.cpp). Returns selected profile ids,
-    or None when the native library is unavailable."""
+    """Native prefilter (see prefilter.cpp). Returns (profile ids, ungapped
+    scores) sorted by score descending, or None when the native library is
+    unavailable."""
     lib = get_library()
     if lib is None:
         return None
@@ -199,6 +208,7 @@ def native_prefilter_query(
     offsets = np.ascontiguousarray(db.offsets, np.int64)
     lengths = np.ascontiguousarray(db.lengths, np.int32)
     out = np.zeros(max_out, np.int32)
+    out_scores = np.zeros(max_out, np.float32)
     n = lib.prefilter_query(
         _ptr(code_table, ctypes.c_int32),
         _ptr(entry_profiles, ctypes.c_int32),
@@ -214,6 +224,8 @@ def native_prefilter_query(
         float(min_ungapped_score),
         *_subst_args(kmer_thr),
         _ptr(out, ctypes.c_int32),
+        _ptr(out_scores, ctypes.c_float),
         max_out,
     )
-    return out[: min(n, max_out)].copy()
+    n = min(n, max_out)
+    return out[:n].copy(), out_scores[:n].copy()

@@ -25,10 +25,17 @@ Replaces the reference's 8-command MMseqs2 subprocess chain
   3. **Best hit**: highest bitscore per query with deterministic
      tie-breaking (reference: filterdb --extract-lines 1 after swap,
      mmseqs2.py:151-158); E-values from Karlin-Altschul statistics.
+     Alignment of each query's candidate list stops after 280 consecutive
+     E-value rejections — MMseqs2's ``--max-rejected 280``
+     (mmseqs2.py:120-121) — applied post-hoc to batched results, which is
+     bit-equal to the reference's sequential walk because accept/reject is
+     a pure per-pair function.
 
-Sharding: the profile DB shards across the 'db' mesh axis; per-shard best
-hits merge with an allreduce-max keyed on (bitscore, -profile_id) — the
-native replacement for ``--splits`` (mmseqs2.py:83-95).
+Sharding: the profile DB shards across the 'db' mesh axis (the native
+replacement for serial ``--splits`` chunking, mmseqs2.py:83-95) and the
+candidate pair batch shards across BOTH the 'data' and 'db' axes; per-pair
+stats return to the host, which applies the stop rule and merges best hits
+deterministically (shard-count-invariant).
 """
 
 from __future__ import annotations
@@ -153,15 +160,24 @@ def _pair_stats_ops(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("lam", "kk", "db_positions"))
+def ka_params(lam: float, kk: float, db_positions: int) -> np.ndarray:
+    """Traced Karlin-Altschul gate parameters: (lambda, log K in f32,
+    db_positions) as a (3,) f32 array. Traced — NOT static jit args — so
+    one compiled SW program serves every database (a static db size would
+    recompile stage 2 per DB)."""
+    return np.array(
+        [lam, np.log(np.float32(kk), dtype=np.float32), db_positions],
+        np.float32,
+    )
+
+
+@jax.jit
 def _sw_pair_stats(
     all_q: jnp.ndarray,
     all_p21: jnp.ndarray,
     q_lengths: jnp.ndarray,
     idx: jnp.ndarray,
-    lam: float = KA_LAMBDA,
-    kk: float = KA_K,
-    db_positions: int = 1,
+    ka: jnp.ndarray,
 ) -> jnp.ndarray:
     """One-dispatch SW statistics for a batch of (query, profile) pairs.
 
@@ -173,7 +189,8 @@ def _sw_pair_stats(
     network tunnel.
 
     all_q: (nq, Lq) staged padded queries; all_p21: (np, Lp, 21) staged
-    padded profiles; q_lengths: (nq,) f32; idx: (2, N) int32 rows into each.
+    padded profiles; q_lengths: (nq,) f32; idx: (2, N) int32 rows into
+    each; ka: ka_params().
     Returns (N, 7) f32: score, end_i, end_j, start_i, start_j, evalue32,
     qcov32 (the last two from _gate_cols — identical to the sharded gate).
     """
@@ -181,88 +198,11 @@ def _sw_pair_stats(
     p = jnp.take(all_p21, idx[1], axis=0)
     stats = _pair_stats_ops(q, p)
     qlen = jnp.take(q_lengths, idx[0]).astype(jnp.float32)
-    ev, qcov = _gate_cols(stats[:, 0], stats[:, 1], stats[:, 3], qlen, lam, kk, db_positions)
+    ev, qcov = _gate_cols(stats[:, 0], stats[:, 1], stats[:, 3], qlen, ka)
     return jnp.concatenate([stats, ev[:, None], qcov[:, None]], axis=1)
 
 
 _INT32_MAX = np.iinfo(np.int32).max
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "mesh",
-        "evalue_threshold",
-        "min_qcov",
-        "db_positions",
-        "ka_lambda",
-        "ka_k",
-    ),
-)
-def _sharded_pair_best(
-    mesh,
-    all_q: jnp.ndarray,
-    q_lengths: jnp.ndarray,
-    p_stack: jnp.ndarray,
-    gid_stack: jnp.ndarray,
-    idx_stack: jnp.ndarray,
-    valid_stack: jnp.ndarray,
-    evalue_threshold: float,
-    min_qcov: float,
-    db_positions: int,
-    ka_lambda: float = KA_LAMBDA,
-    ka_k: float = KA_K,
-):
-    """ONE jitted DB-sharded search program: SW pair stats, E-value and
-    coverage gates, and the per-query best-hit merge all on device.
-
-    The profile DB shards over the mesh's 'db' axis (the native
-    replacement for MMseqs2's serial ``--splits`` chunking,
-    genomad/mmseqs2.py:83-95); each device aligns the pairs routed to its
-    shard and reduces them to a per-query best, then the shards merge with
-    an allreduce: pmax on raw score + pmin on profile id for ties —
-    deterministic and shard-count-invariant.
-
-    all_q: (NQ, Lq) replicated; q_lengths: (NQ,) replicated;
-    p_stack: (n_db * P_loc, Lp, 21) sharded on 'db';
-    gid_stack: (n_db * P_loc,) global profile ids (INT32_MAX on padding);
-    idx_stack: (n_db, 2, N) per-device (query row, local profile row);
-    valid_stack: (n_db, N) pair validity.
-    Returns (best_score (NQ,), best_gid (NQ,)) — replicated.
-    """
-    from jax.sharding import PartitionSpec as P
-
-    nq = all_q.shape[0]
-
-    def body(all_q, q_lengths, p_loc, gid_loc, idx, valid):
-        idx, valid = idx[0], valid[0]  # strip the per-device stack axis
-        q = jnp.take(all_q, idx[0], axis=0)
-        p = jnp.take(p_loc, idx[1], axis=0)
-        stats = _pair_stats_ops(q, p)
-        score = stats[:, 0]
-        qlen = jnp.take(q_lengths, idx[0]).astype(jnp.float32)
-        ev, qcov = _gate_cols(
-            score, stats[:, 1], stats[:, 3], qlen, ka_lambda, ka_k, db_positions
-        )
-        keep = valid & (ev <= evalue_threshold) & (qcov >= min_qcov)
-        skey = jnp.where(keep, score, -jnp.inf)
-        seg_best = jax.ops.segment_max(skey, idx[0], num_segments=nq)
-        gid = jnp.take(gid_loc, idx[1])
-        is_best = keep & (score == jnp.take(seg_best, idx[0]))
-        cand = jnp.where(is_best, gid, _INT32_MAX)
-        seg_gid = jax.ops.segment_min(cand, idx[0], num_segments=nq)
-        g_best = jax.lax.pmax(seg_best, "db")
-        tie = jnp.where(seg_best == g_best, seg_gid, _INT32_MAX)
-        g_gid = jax.lax.pmin(tie, "db")
-        return g_best, g_gid
-
-    return jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P(), P("db"), P("db"), P("db"), P("db")),
-        out_specs=(P(), P()),
-        check_vma=False,  # outputs are replicated by construction (pmax/pmin)
-    )(all_q, q_lengths, p_stack, gid_stack, idx_stack, valid_stack)
 
 
 def sw_align(queries: np.ndarray, profiles: np.ndarray, compute_starts: bool = False):
@@ -319,18 +259,17 @@ def bitscore(raw_score, lam: float = KA_LAMBDA, k: float = KA_K) -> np.ndarray:
     return (lam * np.asarray(raw_score) - np.log(k)) / LN2
 
 
-def _gate_cols(score, end_i, start_i, qlen, lam, kk, db_positions):
+def _gate_cols(score, end_i, start_i, qlen, ka):
     """float32 E-value + query-coverage columns — the SINGLE on-device gate
     implementation shared by the single-device and DB-sharded paths, so
     threshold-edge pairs pass or fail identically on both (they previously
     diverged: host gated in f64, device in f32). Reported winner values are
     still recomputed in f64 from the raw score by both paths.
 
-    score/end_i/start_i/qlen: (N,) f32 traced; lam/kk/db_positions: static.
+    score/end_i/start_i/qlen: (N,) f32 traced; ka: ka_params() (3,) f32.
     """
-    logk = float(np.log(np.float32(kk), dtype=np.float32))
-    bits = (float(lam) * score - logk) / LN2
-    ev = qlen * float(db_positions) * jnp.exp2(-bits)
+    bits = (ka[0] * score - ka[1]) / LN2
+    ev = qlen * ka[2] * jnp.exp2(-bits)
     qcov = (end_i - start_i + 1.0) / qlen
     return ev, qcov
 
@@ -344,6 +283,9 @@ def evalue(
 # ---------------------------------------------------------------------------
 # Prefilter
 # ---------------------------------------------------------------------------
+
+
+_EMPTY_CANDS = (np.zeros(0, np.int32), np.zeros(0, np.float32))
 
 
 def _max_subarray(scores: np.ndarray) -> np.ndarray:
@@ -366,8 +308,10 @@ def prefilter_query(
     kmer_thr: float | None = None,
     expansion_cache: dict | None = None,
     drops: list | None = None,
-) -> np.ndarray:
-    """Candidate profile ids for one query (sorted, deduplicated).
+):
+    """Candidate (profile ids, ungapped scores) for one query, sorted by
+    score descending (profile id ascending on ties) — MMseqs2's prefilter
+    result order, which stage 2 relies on for --max-rejected semantics.
 
     Pipeline: query k-mers [-> similar-k-mer expansion] -> inverted-index
     ranges -> (profile, diagonal) hits -> ungapped diagonal max-subarray
@@ -400,12 +344,12 @@ def prefilter_query(
         codes = np.concatenate(exp_codes) if exp_codes else codes
         qpos_all = np.concatenate(exp_qpos) if exp_qpos else qpos_all
     if not len(codes):
-        return np.zeros(0, np.int32)
+        return _EMPTY_CANDS
     starts, ends = index.lookup(codes)
     counts = ends - starts
     total = int(counts.sum())
     if total == 0:
-        return np.zeros(0, np.int32)
+        return _EMPTY_CANDS
     # expand [starts, ends) ranges into flat entry indices
     entry_idx = np.repeat(starts - np.concatenate([[0], np.cumsum(counts)[:-1]]), counts) + np.arange(total)
     hit_qpos = np.repeat(qpos_all, counts)
@@ -436,7 +380,7 @@ def prefilter_query(
     overlap = np.minimum(Lq - q_start, p_len - p_start)
     C = len(cand_profile)
     if C == 0:
-        return np.zeros(0, np.int32)
+        return _EMPTY_CANDS
     t = np.arange(Lq, dtype=np.int64)[None, :]
     qi = q_start[:, None] + t  # (C, Lq)
     pi = p_start[:, None] + t
@@ -449,24 +393,23 @@ def prefilter_query(
         in_range & (res < N_AA), db.pssm[flat_rows, np.where(res < N_AA, res, 0)], 0.0
     )
     ungapped = _max_subarray(scores)
-    selected = np.unique(cand_profile[ungapped >= min_ungapped_score])
-    if len(selected) > max_candidates:
+    ok = ungapped >= min_ungapped_score
+    prof_ok, score_ok = cand_profile[ok], ungapped[ok].astype(np.float32)
+    if not len(prof_ok):
+        return _EMPTY_CANDS
+    # per-profile best score over its qualifying diagonals
+    uniq, inv = np.unique(prof_ok, return_inverse=True)
+    best = np.full(len(uniq), -np.inf, np.float32)
+    np.maximum.at(best, inv, score_ok)
+    order = np.lexsort((uniq, -best))
+    sel_ids, sel_scores = uniq[order].astype(np.int32), best[order]
+    if len(sel_ids) > max_candidates:
         # keep the best-scoring profiles; the excess is reported via
         # ``drops`` (and logged by the caller), never silently discarded
         if drops is not None:
-            drops.append(len(selected) - max_candidates)
-        best_per_profile = {}
-        for p, s in zip(cand_profile, ungapped):
-            if s >= min_ungapped_score and s > best_per_profile.get(p, -1):
-                best_per_profile[p] = s
-        selected = np.array(
-            sorted(best_per_profile, key=lambda p: (-best_per_profile[p], p))[
-                :max_candidates
-            ],
-            dtype=np.int32,
-        )
-        selected.sort()
-    return selected.astype(np.int32)
+            drops.append(len(sel_ids) - max_candidates)
+        sel_ids, sel_scores = sel_ids[:max_candidates], sel_scores[:max_candidates]
+    return sel_ids, sel_scores
 
 
 # ---------------------------------------------------------------------------
@@ -513,6 +456,7 @@ def search(
     mesh=None,
     db_positions: int | None = None,
     max_seqs: int = 10_000_000,
+    max_rejected: int = 280,
 ) -> dict:
     """Full search: prefilter -> batched SW -> coverage filter -> best hit.
 
@@ -524,9 +468,16 @@ def search(
     the per-position k-mer lists, exactly MMseqs2's ``-s`` mechanism (the
     integrase search runs at 8.2 — reference cli.py:592-599).
 
-    With a mesh whose 'db' axis is > 1, stage 2 runs as ONE jitted
-    DB-sharded program per operand bucket (profiles sharded over 'db',
-    best-hit merge as an on-device allreduce) — see _sharded_pair_best.
+    max_rejected emulates MMseqs2's ``--max-rejected 280`` pass-1 early
+    termination (genomad/mmseqs2.py:120-121): per query, candidates past
+    the 280th consecutive E-value rejection (in prefilter-score order) are
+    never aligned. 0 disables the rule (align every candidate).
+
+    With a mesh, stage 2 runs as ONE jitted (data x db)-sharded program
+    per operand bucket: profiles shard over 'db', the pair batch shards
+    over both axes — see _sharded_pair_stats_program. Best-hit selection
+    merges on the host (it needs the per-pair accept flags that
+    --max-rejected consumes); results are shard-count-invariant.
     """
     residues_list = [profiledb.encode_protein(s) for s in query_seqs]
     # Karlin-Altschul parameters: the DB's calibrated fit when present
@@ -540,16 +491,18 @@ def search(
     if db_positions is None:
         db_positions = max(db.total_positions, 1)
 
-    # ---- stage 1: candidate pairs ----
+    # ---- stage 1: candidate lists ----
     # Small DBs skip the prefilter entirely: batched device SW against a few
     # hundred profiles costs less than host k-mer expansion (this covers the
     # integrase DB, whose s=8.2 would otherwise build ~10^4-entry similar
-    # k-mer lists per query position).
-    pairs_q, pairs_p = [], []
+    # k-mer lists per query position). In this all-pairs mode there is no
+    # prefilter-score order, so --max-rejected (whose semantics depend on
+    # that order) is disabled — every pair is aligned, a superset of what
+    # any truncation would align.
+    nq = len(residues_list)
     if skip_prefilter or db.n_profiles <= 256:
-        for qi in range(len(residues_list)):
-            pairs_q.extend([qi] * db.n_profiles)
-            pairs_p.extend(range(db.n_profiles))
+        cand_ids = [np.arange(db.n_profiles, dtype=np.int64)] * nq
+        max_rejected = 0
     else:
         from genomad_tpu import native
         from genomad_tpu.ops import blosum
@@ -577,7 +530,7 @@ def search(
         if result is None:  # no C++ toolchain: numpy fallback
             cache: dict = {}
             drop_list: list = []
-            batch_cands = [
+            cand_ids = [
                 prefilter_query(
                     residues,
                     db,
@@ -587,46 +540,33 @@ def search(
                     kmer_thr=kmer_thr,
                     expansion_cache=cache,
                     drops=drop_list,
-                )
+                )[0].astype(np.int64)
                 for residues in residues_list
             ]
             n_dropped = sum(drop_list)
         else:
-            batch_cands, n_dropped = result
+            ids_list, _scores_list, n_dropped = result
+            cand_ids = [ids.astype(np.int64) for ids in ids_list]
         if n_dropped:
             import warnings
 
             warnings.warn(
-                f"prefilter: kept the top {max_seqs} candidates per query "
+                f"prefilter: kept the top {out_bound} candidates per query "
                 f"by ungapped score (--max-seqs semantics); {n_dropped} "
                 "weaker candidates dropped across the batch"
             )
-        for qi, cands in enumerate(batch_cands):
-            pairs_q.extend([qi] * len(cands))
-            pairs_p.extend(cands.tolist())
-    if not pairs_q:
+    n_cands = np.array([len(c) for c in cand_ids], np.int64)
+    if not n_cands.sum():
         return {}
-    pairs_q = np.asarray(pairs_q, np.int64)
-    pairs_p = np.asarray(pairs_p, np.int64)
-
-    # ---- stage 2: batched SW over (query-bucket x profile-bucket) ----
-    # All pair batches are dispatched asynchronously (one small index upload
-    # per batch, all compute + operand assembly on device) and fetched in a
-    # single sync pass at the end; the E-value (align-mode-1) and coverage
-    # (align-mode-2) gates then run vectorized on the host. Computing
-    # alignment starts for every pair instead of only E-value survivors is
-    # extra device compute but removes a transfer round-trip per chunk —
-    # the dominant cost — and changes no results.
     q_lengths = np.array([len(r) for r in residues_list], np.int64)
 
-    qb = _bucket_bound(q_lengths[pairs_q])
-    pb = _bucket_bound(db.lengths[pairs_p])
-    # Padded operand caches. Every staged array dimension is padded to a
-    # power of two so the compiled program set is small, stable across runs,
-    # and served by the persistent compilation cache — a data-dependent
-    # dimension (hit-profile count, query count) would recompile the SW
-    # program on nearly every call.
-    padded_queries: dict[int, np.ndarray] = {}
+    # ---- staged operand caches (shared by both stage-2 backends) ----
+    # Every staged array dimension is padded to a power of two so the
+    # compiled program set is small, stable across runs, and served by the
+    # persistent compilation cache — a data-dependent dimension (candidate
+    # count, query count) would recompile the SW program on nearly every
+    # call.
+    padded_queries: dict[int, tuple] = {}
 
     def get_padded_queries(qb_i):
         if qb_i not in padded_queries:
@@ -635,7 +575,18 @@ def search(
             for i, r in enumerate(residues_list):
                 if len(r) <= Lq:
                     arr[i, : len(r)] = r
-            padded_queries[qb_i] = arr
+            qlen_pad = np.ones(arr.shape[0], np.float32)
+            qlen_pad[: len(q_lengths)] = q_lengths
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(mesh, P())
+                padded_queries[qb_i] = (
+                    jax.device_put(arr, rep),
+                    jax.device_put(qlen_pad, rep),
+                )
+            else:
+                padded_queries[qb_i] = (jnp.asarray(arr), jnp.asarray(qlen_pad))
         return padded_queries[qb_i]
 
     def get_staged_profiles(pb_i):
@@ -659,126 +610,13 @@ def search(
             cache[pb_i] = (ids, jnp.asarray(arr))
         return cache[pb_i]
 
-    if mesh is not None and mesh.shape.get("db", 1) > 1:
-        return _stage2_sharded(
-            mesh,
-            query_names,
-            q_lengths,
-            pairs_q,
-            pairs_p,
-            db,
-            qb,
-            pb,
-            get_padded_queries,
-            evalue_threshold,
-            min_qcov,
-            db_positions,
-            lam,
-            kk,
-        )
-
-    pending = []  # (pair_indices, device stats array)
-    max_chunk = max(batch_size, 8192)
-    for qb_i in np.unique(qb):
-        all_q_dev = jnp.asarray(get_padded_queries(qb_i))  # staged per bucket
-        qlen_pad = np.ones(all_q_dev.shape[0], np.float32)
-        qlen_pad[: len(q_lengths)] = q_lengths
-        qlen_dev = jnp.asarray(qlen_pad)
-        for pb_i in np.unique(pb[qb == qb_i]):
-            sel = np.where((qb == qb_i) & (pb == pb_i))[0]
-            p_ids, all_p21_dev = get_staged_profiles(pb_i)
-            for chunk_start in range(0, len(sel), max_chunk):
-                chunk = sel[chunk_start : chunk_start + max_chunk]
-                # pad the pair count to a power of two so compiled program
-                # shapes stay few and reusable across runs
-                n_pad = max(256, 1 << (len(chunk) - 1).bit_length())
-                idx = np.zeros((2, n_pad), np.int32)
-                idx[0, : len(chunk)] = pairs_q[chunk]
-                idx[1, : len(chunk)] = np.searchsorted(p_ids, pairs_p[chunk])
-                stats_dev = _sw_pair_stats(
-                    all_q_dev,
-                    all_p21_dev,
-                    qlen_dev,
-                    jnp.asarray(idx),
-                    lam=float(lam),
-                    kk=float(kk),
-                    db_positions=int(db_positions),
-                )
-                pending.append((chunk, stats_dev))
-
-    # single sync pass + vectorized filters. The gate columns were computed
-    # on device by the same _gate_cols the sharded path uses, so both paths
-    # accept identical pair sets; reported values for winners are
-    # recomputed in f64 below, as the sharded path does.
-    all_pairs, all_bits, all_ev = [], [], []
-    for chunk, stats_dev in pending:
-        stats = np.asarray(stats_dev)[: len(chunk)]
-        score, ev32, qcov32 = stats[:, 0], stats[:, 5], stats[:, 6]
-        qlen = q_lengths[pairs_q[chunk]]
-        keep = (ev32 <= np.float32(evalue_threshold)) & (qcov32 >= np.float32(min_qcov))
-        all_pairs.append(chunk[keep])
-        all_bits.append(bitscore(score[keep], lam, kk))
-        all_ev.append(evalue(score[keep], qlen[keep], db_positions, lam, kk))
-
-    pair_idx = np.concatenate(all_pairs) if all_pairs else np.zeros(0, np.int64)
-    if not len(pair_idx):
-        return {}
-    bits_arr = np.concatenate(all_bits)
-    ev_arr = np.concatenate(all_ev)
-    q_arr = pairs_q[pair_idx]
-    p_arr = pairs_p[pair_idx]
-    # best hit per query: highest bitscore, ties -> smallest profile id
-    # (deterministic and shard-count-invariant)
-    order = np.lexsort((p_arr, -bits_arr, q_arr))
-    q_sorted = q_arr[order]
-    first = np.concatenate([[True], q_sorted[1:] != q_sorted[:-1]])
-    best = order[first]
-    return {
-        query_names[int(q_arr[i])]: (
-            str(db.names[p_arr[i]]),
-            float(ev_arr[i]),
-            int(round(bits_arr[i])),
-            int(db.taxids[p_arr[i]]) if db.taxids[p_arr[i]] > 0 else 1,
-        )
-        for i in best
-    }
-
-
-def _stage2_sharded(
-    mesh,
-    query_names,
-    q_lengths,
-    pairs_q,
-    pairs_p,
-    db,
-    qb,
-    pb,
-    get_padded_queries,
-    evalue_threshold,
-    min_qcov,
-    db_positions,
-    lam=KA_LAMBDA,
-    kk=KA_K,
-) -> dict:
-    """Device-sharded stage 2: route candidate pairs to the device owning
-    their profile shard and run _sharded_pair_best per operand bucket.
-
-    Gates run on device in float32 (the host path uses float64); the
-    reported E-value/bitscore of each winner is recomputed on the host from
-    the winning raw score with the same float64 functions as the host path,
-    so agreeing winners produce identical output values.
-    """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    n_db = mesh.shape["db"]
-    replicated = NamedSharding(mesh, P())
-    db_shard = NamedSharding(mesh, P("db"))
-
     def get_staged_shards(pb_i):
-        """(ids, per-device row count, profile tensor sharded over 'db',
-        global-id tensor sharded over 'db') for one profile length class.
-        Rows [d * p_loc, (d+1) * p_loc) live on device d; padding rows have
-        zero PSSMs and gid INT32_MAX so they can never win a merge."""
+        """(ids, per-device row count, profile tensor sharded over 'db') for
+        one profile length class. Rows [d * p_loc, (d+1) * p_loc) live on
+        db-shard d (replicated over 'data'); padding rows have zero PSSMs."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_db = mesh.shape.get("db", 1)
         cache = db.__dict__.setdefault("_device_bucket_shards", {})
         key = (pb_i, n_db)
         if key not in cache:
@@ -786,83 +624,95 @@ def _stage2_sharded(
             ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
             p_loc = _pow2(-(-len(ids) // n_db), floor=8)
             arr = np.zeros((n_db * p_loc, Lp, N_AA + 1), np.float32)
-            gids = np.full(n_db * p_loc, _INT32_MAX, np.int32)
             lens = db.lengths[ids].astype(np.int64)
             rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
             mask = np.arange(Lp)[None, :] < lens[:, None]
             arr[: len(ids), :, :N_AA] = np.where(
                 mask[:, :, None], db.pssm[np.minimum(rows, db.offsets[-1] - 1)], 0.0
             )
-            gids[: len(ids)] = ids
             cache[key] = (
                 ids,
                 p_loc,
-                jax.device_put(arr, db_shard),
-                jax.device_put(gids, db_shard),
+                jax.device_put(arr, NamedSharding(mesh, P("db"))),
             )
         return cache[key]
 
-    results = []  # per-program (best_score (NQ,), best_gid (NQ,))
-    max_chunk = 8192  # per-device pair count per program call
-    for qb_i in np.unique(qb):
-        all_q = get_padded_queries(qb_i)
-        all_q_dev = jax.device_put(all_q, replicated)
-        qlen_pad = np.ones(all_q.shape[0], np.int32)
-        qlen_pad[: len(q_lengths)] = q_lengths
-        qlen_dev = jax.device_put(qlen_pad, replicated)
-        for pb_i in np.unique(pb[qb == qb_i]):
-            sel = np.where((qb == qb_i) & (pb == pb_i))[0]
-            ids, p_loc, arr_dev, gid_dev = get_staged_shards(pb_i)
-            local = np.searchsorted(ids, pairs_p[sel])
-            owner = local // p_loc
-            order = np.argsort(owner, kind="stable")
-            counts = np.bincount(owner, minlength=n_db)
-            offsets = np.concatenate([[0], np.cumsum(counts)])
-            for start in range(0, int(counts.max()), max_chunk):
-                width = min(max_chunk, int(counts.max()) - start)
-                n_pad = _pow2(width, floor=256)
-                idx_stack = np.zeros((n_db, 2, n_pad), np.int32)
-                valid = np.zeros((n_db, n_pad), bool)
-                for d in range(n_db):
-                    lo = offsets[d] + start
-                    hi = min(lo + width, offsets[d + 1])
-                    if lo >= hi:
-                        continue
-                    rows_d = order[lo:hi]
-                    k = hi - lo
-                    idx_stack[d, 0, :k] = pairs_q[sel[rows_d]]
-                    idx_stack[d, 1, :k] = local[rows_d] % p_loc
-                    valid[d, :k] = True
-                best_s, best_g = _sharded_pair_best(
-                    mesh,
-                    all_q_dev,
-                    qlen_dev,
-                    arr_dev,
-                    gid_dev,
-                    jax.device_put(idx_stack, db_shard),
-                    jax.device_put(valid, db_shard),
-                    float(evalue_threshold),
-                    float(min_qcov),
-                    int(db_positions),
-                    ka_lambda=float(lam),
-                    ka_k=float(kk),
-                )
-                results.append((best_s, best_g))
+    if mesh is not None and (
+        mesh.shape.get("db", 1) > 1 or mesh.shape.get("data", 1) > 1
+    ):
+        stats_fn = functools.partial(
+            _pair_stats_sharded,
+            db=db,
+            q_lengths=q_lengths,
+            mesh=mesh,
+            get_padded_queries=get_padded_queries,
+            get_staged_shards=get_staged_shards,
+            ka=ka_params(float(lam), float(kk), int(db_positions)),
+        )
+    else:
+        stats_fn = functools.partial(
+            _pair_stats_host,
+            db=db,
+            q_lengths=q_lengths,
+            get_padded_queries=get_padded_queries,
+            get_staged_profiles=get_staged_profiles,
+            ka=ka_params(float(lam), float(kk), int(db_positions)),
+        )
 
-    if not results:
-        return {}
-    nq_pad = results[0][0].shape[0]
-    best_score = np.full(nq_pad, -np.inf, np.float32)
-    best_gid = np.full(nq_pad, _INT32_MAX, np.int64)
-    for s_dev, g_dev in results:
-        s = np.asarray(s_dev).astype(np.float32)
-        g = np.asarray(g_dev).astype(np.int64)
-        better = (s > best_score) | ((s == best_score) & (g < best_gid))
-        best_score = np.where(better, s, best_score)
-        best_gid = np.where(better, g, best_gid)
+    # ---- stage 2: rounds of batched SW + --max-rejected + best hit ----
+    # Pass-1/pass-2 MMseqs2 semantics (genomad/mmseqs2.py:107-140): the
+    # E-value gate is align-mode 1, the coverage gate is align-mode 2, and
+    # alignment of a query's candidate list (prefilter-score order) stops
+    # after ``max_rejected`` consecutive E-value rejections
+    # (--max-rejected 280, mmseqs2.py:120-121). Acceptance is a pure
+    # per-pair function, so the stop rule is applied POST-HOC to batched
+    # results: align a round of candidates per query, find each query's
+    # stop point from the accept flags, discard results past it — bit-equal
+    # to the reference's sequential accept/reject walk. Rounds exist only
+    # to bound wasted alignment past stop points; most queries finish in
+    # round 1.
+    best_score = np.full(nq, -np.inf, np.float32)
+    best_gid = np.full(nq, _INT32_MAX, np.int64)
+    pos = np.zeros(nq, np.int64)
+    carry = np.zeros(nq, np.int64)
+    alive = n_cands > 0
+    round_size = max(512, int(max_rejected))
+    while np.any(alive):
+        idxs = np.where(alive)[0]
+        sq, sp = [], []
+        for q in idxs:
+            sl = cand_ids[q][pos[q] : pos[q] + round_size]
+            sq.append(np.full(len(sl), q, np.int64))
+            sp.append(sl)
+        pairs_q = np.concatenate(sq)
+        pairs_p = np.concatenate(sp)
+        stats = stats_fn(pairs_q, pairs_p)
+        score, ev32, qcov32 = stats[:, 0], stats[:, 5], stats[:, 6]
+        keep1 = ev32 <= np.float32(evalue_threshold)
+        if max_rejected:
+            aligned, carry, stopped = _max_rejected_mask(
+                pairs_q, keep1, carry, int(max_rejected)
+            )
+        else:
+            aligned = np.ones(len(keep1), bool)
+            stopped = np.zeros(len(idxs), bool)
+        acc = aligned & keep1 & (qcov32 >= np.float32(min_qcov))
+        if np.any(acc):
+            a_q, a_p, a_s = pairs_q[acc], pairs_p[acc], score[acc]
+            order = np.lexsort((a_p, -a_s, a_q))
+            a_q, a_p, a_s = a_q[order], a_p[order], a_s[order]
+            first = np.concatenate([[True], a_q[1:] != a_q[:-1]])
+            bq, bp, bs = a_q[first], a_p[first], a_s[first]
+            better = (bs > best_score[bq]) | (
+                (bs == best_score[bq]) & (bp < best_gid[bq])
+            )
+            best_score[bq[better]] = bs[better]
+            best_gid[bq[better]] = bp[better]
+        pos[idxs] += np.minimum(round_size, n_cands[idxs] - pos[idxs])
+        alive[idxs] = ~stopped & (pos[idxs] < n_cands[idxs])
 
     out = {}
-    for qi in range(len(query_names)):
+    for qi in range(nq):
         if not np.isfinite(best_score[qi]) or best_gid[qi] == _INT32_MAX:
             continue
         raw = float(best_score[qi])
@@ -873,6 +723,200 @@ def _stage2_sharded(
             int(round(float(bitscore(raw, lam, kk)))),
             int(db.taxids[gid]) if db.taxids[gid] > 0 else 1,
         )
+    return out
+
+
+def _max_rejected_mask(seg_q, keep, carry, max_rejected):
+    """Emulate MMseqs2's --max-rejected stop rule on batched results.
+
+    seg_q: (N,) query index per pair, grouped in contiguous segments with
+    pairs in candidate (prefilter-score) order; keep: (N,) pass-1 accept
+    flags; carry: per-query consecutive-rejection runs carried in from
+    earlier rounds.
+
+    Returns (aligned (N,) — pairs the reference would actually have
+    aligned, updated carry, stopped (S,) flags aligned with the order of
+    distinct segments in seg_q). A stop triggers AT the max_rejected-th
+    consecutive rejection: that pair is aligned (and rejected), everything
+    after it in the query's list is not.
+    """
+    n = len(keep)
+    pos = np.arange(n, dtype=np.int64)
+    start = np.concatenate([[True], seg_q[1:] != seg_q[:-1]])
+    seg_ids = np.cumsum(start) - 1
+    seg_start_pos = pos[start]
+    uniq_q = seg_q[start]
+    # segmented "last keep position" via offset-encoded maximum.accumulate
+    off = seg_ids * np.int64(n + 2)
+    kp = np.where(keep, off + pos, np.int64(-1))
+    acc = np.maximum.accumulate(kp)
+    has_keep = acc >= off
+    no_keep_base = seg_start_pos[seg_ids] - 1 - carry[uniq_q][seg_ids]
+    last_keep = np.where(has_keep, acc - off, no_keep_base)
+    run = pos - last_keep  # consecutive rejections ending at i (0 at keeps)
+    trigger = (~keep) & (run >= max_rejected)
+    tpos = np.where(trigger, pos, np.int64(n))
+    stop_pos = np.minimum.reduceat(tpos, seg_start_pos)
+    aligned = pos <= stop_pos[seg_ids]
+    seg_end_pos = np.concatenate([seg_start_pos[1:], [n]]) - 1
+    stopped = stop_pos < n
+    new_carry = carry.copy()
+    new_carry[uniq_q] = np.where(stopped, 0, run[seg_end_pos])
+    return aligned, new_carry, stopped
+
+
+_MAX_CHUNK = 8192  # pairs per device program call
+
+
+def _pair_stats_host(
+    pairs_q,
+    pairs_p,
+    db,
+    q_lengths,
+    get_padded_queries,
+    get_staged_profiles,
+    ka,
+):
+    """(N, 7) per-pair SW stats via async per-bucket dispatches on the
+    default device. All chunks are dispatched before the single sync pass,
+    so host<->device transfer round-trips overlap device compute."""
+    N = len(pairs_q)
+    out = np.empty((N, 7), np.float32)
+    qb = _bucket_bound(q_lengths[pairs_q])
+    pb = _bucket_bound(db.lengths[pairs_p])
+    pending = []
+    for qb_i in np.unique(qb):
+        all_q_dev, qlen_dev = get_padded_queries(qb_i)
+        for pb_i in np.unique(pb[qb == qb_i]):
+            sel = np.where((qb == qb_i) & (pb == pb_i))[0]
+            p_ids, all_p21_dev = get_staged_profiles(pb_i)
+            for chunk_start in range(0, len(sel), _MAX_CHUNK):
+                chunk = sel[chunk_start : chunk_start + _MAX_CHUNK]
+                # pad the pair count to a power of two so compiled program
+                # shapes stay few and reusable across runs
+                n_pad = max(256, 1 << (len(chunk) - 1).bit_length())
+                idx = np.zeros((2, n_pad), np.int32)
+                idx[0, : len(chunk)] = pairs_q[chunk]
+                idx[1, : len(chunk)] = np.searchsorted(p_ids, pairs_p[chunk])
+                stats_dev = _sw_pair_stats(
+                    all_q_dev, all_p21_dev, qlen_dev, jnp.asarray(idx), ka
+                )
+                pending.append((chunk, stats_dev))
+    for chunk, stats_dev in pending:
+        out[chunk] = np.asarray(stats_dev)[: len(chunk)]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _sharded_pair_stats_program(
+    mesh,
+    all_q: jnp.ndarray,
+    qlen: jnp.ndarray,
+    p_stack: jnp.ndarray,
+    idx_stack: jnp.ndarray,
+    ka: jnp.ndarray,
+):
+    """ONE jitted (data x db)-sharded SW program: queries replicate, the
+    profile DB shards over 'db' (the native replacement for MMseqs2's
+    serial ``--splits`` chunking, genomad/mmseqs2.py:83-95), and the pair
+    batch shards over BOTH mesh axes — the 'data' axis carries query-batch
+    data parallelism, the reference's process-pool analog (SURVEY §2.5).
+    Each device aligns its pair slice and emits per-pair stats + f32 gate
+    columns (_gate_cols — identical to the single-device gate).
+
+    all_q: (NQ, Lq) replicated; qlen: (NQ,) replicated;
+    p_stack: (n_db * P_loc, Lp, 21) sharded on 'db';
+    idx_stack: (n_data, n_db, 2, N) per-device (query row, local profile
+    row). Returns (n_data, n_db, N, 7) sharded on ('data', 'db').
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def body(all_q, qlen, p_loc, idx, ka):
+        idx = idx[0, 0]  # strip the per-device stack axes
+        q = jnp.take(all_q, idx[0], axis=0)
+        p = jnp.take(p_loc, idx[1], axis=0)
+        stats = _pair_stats_ops(q, p)
+        ql = jnp.take(qlen, idx[0]).astype(jnp.float32)
+        ev, qcov = _gate_cols(stats[:, 0], stats[:, 1], stats[:, 3], ql, ka)
+        out = jnp.concatenate([stats, ev[:, None], qcov[:, None]], axis=1)
+        return out[None, None]
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P("db"), P("data", "db"), P()),
+        out_specs=P("data", "db"),
+        check_vma=False,
+    )(all_q, qlen, p_stack, idx_stack, ka)
+
+
+def _pair_stats_sharded(
+    pairs_q,
+    pairs_p,
+    db,
+    q_lengths,
+    mesh,
+    get_padded_queries,
+    get_staged_shards,
+    ka,
+):
+    """(N, 7) per-pair SW stats on a (data, db) mesh: pairs route to the
+    device owning their profile's db-shard, balanced round-robin over the
+    'data' axis; results scatter back into input-pair order on the host."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_data = mesh.shape.get("data", 1)
+    n_db = mesh.shape.get("db", 1)
+    N = len(pairs_q)
+    out = np.empty((N, 7), np.float32)
+    qb = _bucket_bound(q_lengths[pairs_q])
+    pb = _bucket_bound(db.lengths[pairs_p])
+    pending = []
+    for qb_i in np.unique(qb):
+        all_q_dev, qlen_dev = get_padded_queries(qb_i)
+        for pb_i in np.unique(pb[qb == qb_i]):
+            sel = np.where((qb == qb_i) & (pb == pb_i))[0]
+            ids, p_loc, arr_dev = get_staged_shards(pb_i)
+            local = np.searchsorted(ids, pairs_p[sel])
+            owner = local // p_loc
+            order = np.argsort(owner, kind="stable")
+            counts = np.bincount(owner, minlength=n_db)
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            # cell (g, d) gets every n_data-th pair of db-shard d's list —
+            # round-robin over 'data' balances uneven shard loads
+            cell_width = -(-int(counts.max()) // n_data) if counts.max() else 0
+            for start in range(0, max(cell_width, 1), _MAX_CHUNK):
+                width = min(_MAX_CHUNK, cell_width - start)
+                if width <= 0:
+                    break
+                n_pad = _pow2(width, floor=256)
+                idx_stack = np.zeros((n_data, n_db, 2, n_pad), np.int32)
+                placement = []  # (pair rows, g, d, slot_base)
+                for d in range(n_db):
+                    rows_d = order[offsets[d] : offsets[d + 1]]
+                    for g in range(n_data):
+                        cell_rows = rows_d[g::n_data][start : start + width]
+                        if not len(cell_rows):
+                            continue
+                        k = len(cell_rows)
+                        idx_stack[g, d, 0, :k] = pairs_q[sel[cell_rows]]
+                        idx_stack[g, d, 1, :k] = local[cell_rows] % p_loc
+                        placement.append((sel[cell_rows], g, d, k))
+                stats_dev = _sharded_pair_stats_program(
+                    mesh,
+                    all_q_dev,
+                    qlen_dev,
+                    arr_dev,
+                    jax.device_put(
+                        idx_stack, NamedSharding(mesh, P("data", "db"))
+                    ),
+                    jnp.asarray(ka),
+                )
+                pending.append((placement, stats_dev))
+    for placement, stats_dev in pending:
+        stats = np.asarray(stats_dev)
+        for rows, g, d, k in placement:
+            out[rows] = stats[g, d, :k]
     return out
 
 

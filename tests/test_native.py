@@ -16,6 +16,22 @@ def lib():
     return lib
 
 
+def assert_cands_equal(got, expected):
+    """Same candidate id set, near-identical scores, and both orderings
+    consistent with (score desc, id asc). Scores may differ at float
+    rounding (C++ sequential Kadane vs numpy f64 cumsum max-subarray)."""
+    got_ids, got_scores = got
+    exp_ids, exp_scores = expected
+    np.testing.assert_array_equal(np.sort(got_ids), np.sort(exp_ids))
+    by_id_got = dict(zip(got_ids.tolist(), got_scores.tolist()))
+    by_id_exp = dict(zip(exp_ids.tolist(), exp_scores.tolist()))
+    for pid in by_id_got:
+        np.testing.assert_allclose(by_id_got[pid], by_id_exp[pid], rtol=1e-5)
+    for ids, scores in (got, expected):
+        key = [(-s, i) for s, i in zip(np.round(scores, 3), ids)]
+        assert key == sorted(key), "candidates not in (score desc, id asc) order"
+
+
 def test_native_matches_numpy_prefilter(lib, rng):
     db = ProfileDB.synthetic(seed=31, n_profiles=60, min_len=60, max_len=150)
     index = db.kmer_index(1)
@@ -24,13 +40,13 @@ def test_native_matches_numpy_prefilter(lib, rng):
         expected = protein_search.prefilter_query(residues, db, index, 25.0)
         got = native.native_prefilter_query(index, residues, db, 25.0)
         assert got is not None
-        np.testing.assert_array_equal(np.sort(got), np.sort(expected))
-        assert target in got
+        assert_cands_equal(got, expected)
+        assert target in got[0]
     # noise query: both paths agree
     noise = rng.integers(0, 20, 90).astype(np.int8)
     expected = protein_search.prefilter_query(noise, db, index, 25.0)
     got = native.native_prefilter_query(index, noise, db, 25.0)
-    np.testing.assert_array_equal(np.sort(got), np.sort(expected))
+    assert_cands_equal(got, expected)
 
 
 def test_native_batch_matches_single(lib, rng):
@@ -38,17 +54,19 @@ def test_native_batch_matches_single(lib, rng):
     index = db.kmer_index(1)
     residues_list = [db.consensus(t)[:80] for t in (2, 9, 33)]
     residues_list.append(rng.integers(0, 20, 70).astype(np.int8))
-    batch, dropped = native.native_prefilter_batch(index, residues_list, db, 25.0, n_threads=2)
+    ids_list, scores_list, dropped = native.native_prefilter_batch(
+        index, residues_list, db, 25.0, n_threads=2
+    )
     assert dropped == 0
-    for residues, got in zip(residues_list, batch):
+    for residues, ids, scores in zip(residues_list, ids_list, scores_list):
         single = native.native_prefilter_query(index, residues, db, 25.0)
-        np.testing.assert_array_equal(np.sort(got), np.sort(single))
+        assert_cands_equal((ids, scores), single)
 
 
 def test_native_expansion_matches_numpy(lib, rng):
-    """Query-side similar-k-mer expansion: the C++ DFS and the Python
-    branch-and-bound (ops.blosum.similar_kmers) select identical candidate
-    sets at several sensitivity thresholds."""
+    """Query-side similar-k-mer expansion: the C++ 2-mer x 3-mer product
+    tables and the Python branch-and-bound (ops.blosum.similar_kmers)
+    select identical candidate sets at several sensitivity thresholds."""
     from genomad_tpu.ops.blosum import kmer_score_threshold
 
     db = ProfileDB.synthetic(seed=77, n_profiles=50, min_len=60, max_len=140)
@@ -61,11 +79,11 @@ def test_native_expansion_matches_numpy(lib, rng):
                 residues, db, index, 25.0, kmer_thr=thr
             )
             got = native.native_prefilter_query(index, residues, db, 25.0, kmer_thr=thr)
-            np.testing.assert_array_equal(np.sort(got), np.sort(expected))
+            assert_cands_equal(got, expected)
         noise = rng.integers(0, 20, 80).astype(np.int8)
         expected = protein_search.prefilter_query(noise, db, index, 25.0, kmer_thr=thr)
         got = native.native_prefilter_query(index, noise, db, 25.0, kmer_thr=thr)
-        np.testing.assert_array_equal(np.sort(got), np.sort(expected))
+        assert_cands_equal(got, expected)
 
 
 def test_expansion_recall_grows_with_sensitivity(rng):
@@ -82,7 +100,7 @@ def test_expansion_recall_grows_with_sensitivity(rng):
         for target in range(12):
             residues = db.consensus(target)[:80].copy()
             residues[::2] = (residues[::2] + 7) % 20  # mutate every 2nd residue
-            cands = protein_search.prefilter_query(
+            cands, _ = protein_search.prefilter_query(
                 residues, db, index, 25.0, kmer_thr=thr
             )
             n_hits += int(target in cands)
@@ -96,4 +114,4 @@ def test_native_handles_unknown_residues(lib):
     index = db.kmer_index(1)
     residues = encode_protein("X" * 50)
     got = native.native_prefilter_query(index, residues, db, 25.0)
-    assert got is not None and len(got) == 0
+    assert got is not None and len(got[0]) == 0

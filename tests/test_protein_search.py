@@ -92,11 +92,12 @@ def test_prefilter_finds_planted_match(rng):
     index = db.kmer_index(1)
     target = 17
     residues = db.consensus(target)[:80]
-    cands = protein_search.prefilter_query(residues, db, index)
+    cands, scores = protein_search.prefilter_query(residues, db, index)
     assert target in cands
+    assert list(scores) == sorted(scores, reverse=True)
     # a random query should produce few/no candidates
     noise = rng.integers(0, N_AA, 80).astype(np.int8)
-    noise_cands = protein_search.prefilter_query(noise, db, index)
+    noise_cands, _ = protein_search.prefilter_query(noise, db, index)
     assert len(noise_cands) < 5
 
 
@@ -179,3 +180,61 @@ def test_search_batch_size_invariance():
     a = protein_search.search(names, seqs, db, batch_size=512)
     b = protein_search.search(names, seqs, db, batch_size=3)
     assert a == b
+
+
+def test_max_rejected_mask_matches_sequential_oracle():
+    """_max_rejected_mask must reproduce MMseqs2's sequential walk: align
+    candidates in order, stop AFTER the R-th consecutive rejection."""
+    rng = np.random.default_rng(99)
+
+    def oracle(keep, carry, R):
+        aligned = np.zeros(len(keep), bool)
+        run = carry
+        for i, k in enumerate(keep):
+            aligned[i] = True
+            run = 0 if k else run + 1
+            if run >= R:
+                return aligned, 0, True
+        return aligned, run, False
+
+    for trial in range(200):
+        n_seg = int(rng.integers(1, 5))
+        R = int(rng.integers(1, 6))
+        seg_q, keep = [], []
+        carries = np.zeros(10, np.int64)
+        qids = rng.choice(10, n_seg, replace=False)
+        qids.sort()
+        for q in qids:
+            m = int(rng.integers(1, 12))
+            seg_q.extend([q] * m)
+            keep.extend(rng.random(m) < 0.4)
+            carries[q] = int(rng.integers(0, R))
+        seg_q = np.asarray(seg_q, np.int64)
+        keep = np.asarray(keep, bool)
+        aligned, new_carry, stopped = protein_search._max_rejected_mask(
+            seg_q, keep, carries.copy(), R
+        )
+        for si, q in enumerate(qids):
+            m = seg_q == q
+            exp_aligned, exp_carry, exp_stop = oracle(keep[m], carries[q], R)
+            np.testing.assert_array_equal(
+                aligned[m], exp_aligned, err_msg=f"trial {trial} q {q}"
+            )
+            assert new_carry[q] == exp_carry, (trial, q)
+            assert stopped[si] == exp_stop, (trial, q)
+
+
+def test_search_max_rejected_truncates():
+    """With a tiny max_rejected, a query whose candidate list interleaves
+    strong and weak candidates keeps only the pre-stop accepts."""
+    db = ProfileDB.synthetic(seed=33, n_profiles=400, min_len=60, max_len=120)
+    rng = np.random.default_rng(7)
+    target = 123
+    seq = "".join("ACDEFGHIKLMNPQRSTVWY"[r] for r in db.consensus(target))
+    # uncapped: finds the planted target
+    full = protein_search.search(["q"], [seq], db)
+    assert full and full["q"][0] == str(db.names[target])
+    # max_rejected=1: stops after the first rejection; the planted hit is
+    # the top-scoring candidate, so it must still win
+    trunc = protein_search.search(["q"], [seq], db, max_rejected=1)
+    assert trunc and trunc["q"][0] == str(db.names[target])
