@@ -53,7 +53,7 @@ def get_library():
         ctypes.POINTER(ctypes.c_int32),   # code_table (20^5+1 offsets)
         ctypes.POINTER(ctypes.c_int32),   # entry_profiles
         ctypes.POINTER(ctypes.c_int32),   # entry_positions
-        ctypes.c_int64,                   # n_entries
+        ctypes.c_int64,                   # n_profiles (stamp-table size)
         ctypes.POINTER(ctypes.c_int64),   # query_codes (concat)
         ctypes.POINTER(ctypes.c_int64),   # code_offsets
         ctypes.POINTER(ctypes.c_int8),    # residues (concat)
@@ -76,7 +76,7 @@ def get_library():
         ctypes.POINTER(ctypes.c_int32),   # code_table (20^5+1 offsets)
         ctypes.POINTER(ctypes.c_int32),   # entry_profiles
         ctypes.POINTER(ctypes.c_int32),   # entry_positions
-        ctypes.c_int64,                   # n_entries
+        ctypes.c_int64,                   # n_profiles (stamp-table size)
         ctypes.POINTER(ctypes.c_int64),   # query_codes
         ctypes.c_int64,                   # n_codes
         ctypes.POINTER(ctypes.c_int8),    # residues
@@ -148,7 +148,7 @@ def native_prefilter_batch(
         _ptr(code_table, ctypes.c_int32),
         _ptr(entry_profiles, ctypes.c_int32),
         _ptr(entry_positions, ctypes.c_int32),
-        len(index.sorted_kmers),
+        int(db.n_profiles),
         _ptr(codes, ctypes.c_int64),
         _ptr(code_offsets, ctypes.c_int64),
         _ptr(residues, ctypes.c_int8),
@@ -213,7 +213,7 @@ def native_prefilter_query(
         _ptr(code_table, ctypes.c_int32),
         _ptr(entry_profiles, ctypes.c_int32),
         _ptr(entry_positions, ctypes.c_int32),
-        len(index.sorted_kmers),
+        int(db.n_profiles),
         _ptr(codes, ctypes.c_int64),
         len(codes),
         _ptr(residues, ctypes.c_int8),

@@ -17,11 +17,21 @@
 //      per-query-position branch-and-bound DFS (which recomputed the same
 //      expansion for every occurrence and dominated the prefilter).
 //   2. every expanded k-mer is looked up in the direct offset table over
-//      the 20^5 code space; hits append (profile, diagonal) keys to a flat
-//      vector (no hash map — sequential writes only);
-//   3. the key vector is LSD-radix-sorted; equal-key runs give the per-
-//      diagonal match count. In expansion mode a diagonal needs >= 2 hits
-//      (MMseqs2's double-k-mer-match criterion) before extension;
+//      the 20^5 code space; each index entry becomes a (profile, diagonal)
+//      hit processed in O(1) against per-profile EPOCH-STAMPED diagonal
+//      tables (last_epoch/last_diag, ~2 MB at 227k profiles — cache
+//      resident). A hit whose profile's stamped diagonal matches is a
+//      double k-mer match (MMseqs2's double-match criterion) and pushes a
+//      candidate; the stamp tables replace the per-query radix sort of the
+//      full hit vector (~1M keys/query at production DB scale), which
+//      dominated the prefilter. Like MMseqs2's QueryMatcher, the table
+//      keeps only the LAST diagonal per profile, so interleaved-diagonal
+//      hit patterns can miss a double match — the same approximation the
+//      reference engine ships with (mmseqs2 prefiltering/QueryMatcher.cpp
+//      diagonalPrev). Exact-k-mer mode (no expansion) needs one hit per
+//      diagonal, so every first hit is a candidate and no approximation
+//      arises;
+//   3. candidates (a few thousand per query) are sorted and deduplicated;
 //   4. qualifying diagonals run Kadane's maximal-subarray scan over the
 //      PSSM scores; profiles whose best diagonal reaches
 //      min_ungapped_score are emitted SORTED BY SCORE DESCENDING (id
@@ -32,8 +42,11 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <mutex>
@@ -48,6 +61,11 @@ constexpr int N2 = NAA * NAA;            // 400
 constexpr int N3 = NAA * NAA * NAA;      // 8000
 constexpr uint32_t DIAG_BITS = 21;       // diag + offset fits in 21 bits
 constexpr uint32_t DIAG_OFF = 1u << 20;  // supports |diag| < 2^20
+// Max query distance between the two k-mer matches of a double hit: pairs
+// further apart than the scoring window could not both contribute to the
+// windowed ungapped score anyway, and dropping them removes the bulk of
+// the background double-hit noise at production DB scale.
+constexpr uint32_t PAIR_DIST = 32;
 
 // --- similar-k-mer product tables (one instance per threshold) -------------
 
@@ -181,36 +199,53 @@ const ExpTables* get_tables(const float* subst, float thr) {
     return &it->second;
 }
 
-// --- radix sort of (profile << DIAG_BITS | diag) keys ----------------------
+// --- optional stage stats (GENOMAD_PREFILTER_STATS=1) ----------------------
 
-void radix_sort_keys(std::vector<uint64_t>& a, std::vector<uint64_t>& tmp) {
-    constexpr int BITS = 13;
-    constexpr uint32_t MASK = (1u << BITS) - 1;
-    size_t n = a.size();
-    if (n < 2) return;
-    uint64_t max_key = 0;
-    for (uint64_t k : a) max_key = std::max(max_key, k);
-    tmp.resize(n);
-    for (int shift = 0; max_key >> shift; shift += BITS) {
-        uint32_t cnt[1u << BITS] = {0};
-        for (uint64_t k : a) ++cnt[(k >> shift) & MASK];
-        uint32_t sum = 0;
-        for (uint32_t& c : cnt) {
-            uint32_t v = c;
-            c = sum;
-            sum += v;
-        }
-        for (uint64_t k : a) tmp[cnt[(k >> shift) & MASK]++] = k;
-        a.swap(tmp);
-    }
+struct Stats {
+    std::atomic<int64_t> hits{0};
+    std::atomic<int64_t> codes{0};
+    std::atomic<int64_t> cands{0};
+    std::atomic<int64_t> enum_ns{0};
+    std::atomic<int64_t> sort_ns{0};
+    std::atomic<int64_t> kadane_ns{0};
+};
+Stats g_stats;
+bool stats_enabled() {
+    static const bool on = [] {
+        const char* v = std::getenv("GENOMAD_PREFILTER_STATS");
+        return v && v[0] == '1';
+    }();
+    return on;
 }
 
 // --- per-worker scratch (reused across queries) ----------------------------
 
 struct Scratch {
-    std::vector<uint64_t> hits;
-    std::vector<uint64_t> tmp;
+    // per-profile stamp tables (see file comment, step 2). ``last_*`` detect
+    // the second hit on a diagonal; ``cand_*`` deduplicate candidate pushes
+    // (only the FIRST double hit of a (profile, diagonal) pushes — without
+    // this, a true homologous diagonal with a run of n matches pushes n-1
+    // duplicates and the candidate sort dominates the whole prefilter).
+    std::vector<int32_t> last_epoch;
+    std::vector<uint32_t> last_diag;
+    std::vector<uint32_t> last_qpos;
+    std::vector<int32_t> cand_epoch;
+    std::vector<uint32_t> cand_diag;
+    int32_t epoch = 0;
+    // candidate key (profile << DIAG_BITS | udiag) + first-double-hit qpos
+    std::vector<std::pair<uint64_t, uint32_t>> cand;
     std::vector<std::pair<float, int32_t>> selected;  // (score, profile)
+
+    void ensure(int64_t n_profiles) {
+        if (static_cast<int64_t>(last_epoch.size()) < n_profiles) {
+            last_epoch.assign(n_profiles, 0);
+            last_diag.assign(n_profiles, 0);
+            last_qpos.assign(n_profiles, 0);
+            cand_epoch.assign(n_profiles, 0);
+            cand_diag.assign(n_profiles, 0);
+            epoch = 0;
+        }
+    }
 };
 
 }  // namespace
@@ -235,6 +270,7 @@ static int64_t prefilter_query_impl(
     const int32_t* code_table,
     const int32_t* entry_profiles,
     const int32_t* entry_positions,
+    int64_t n_profiles,
     const int64_t* query_codes,
     int64_t n_codes,
     const int8_t* residues,
@@ -249,19 +285,51 @@ static int64_t prefilter_query_impl(
     int64_t max_out,
     Scratch& scratch) {
     const bool expand = tables != nullptr;
-    auto& hits = scratch.hits;
-    hits.clear();
+    const bool stats = stats_enabled();
+    scratch.ensure(n_profiles);
+    const int32_t epoch = ++scratch.epoch;
+    int32_t* last_epoch = scratch.last_epoch.data();
+    uint32_t* last_diag = scratch.last_diag.data();
+    uint32_t* last_qpos = scratch.last_qpos.data();
+    int32_t* cand_epoch = scratch.cand_epoch.data();
+    uint32_t* cand_diag = scratch.cand_diag.data();
+    auto& cand = scratch.cand;
+    cand.clear();
+    int64_t n_hits = 0, n_exp_codes = 0;
+    auto t_enum0 = std::chrono::steady_clock::now();
+    // 1-2. expansion + index lookups -> O(1) stamp-table hit processing.
+    // Expansion mode: a candidate needs two hits on the same (profile,
+    // diagonal); exact mode: every first hit is a candidate.
     auto push_hits = [&](int64_t code, int64_t q) {
         const int32_t b = code_table[code], e = code_table[code + 1];
+        n_hits += e - b;
+        ++n_exp_codes;
         for (int32_t i = b; i < e; ++i) {
-            uint32_t udiag = static_cast<uint32_t>(
+            const int32_t p = entry_profiles[i];
+            const uint32_t udiag = static_cast<uint32_t>(
                 entry_positions[i] - static_cast<int32_t>(q) + DIAG_OFF);
-            hits.push_back(
-                (static_cast<uint64_t>(entry_profiles[i]) << DIAG_BITS) |
-                udiag);
+            if (last_epoch[p] == epoch && last_diag[p] == udiag &&
+                q - last_qpos[p] <= PAIR_DIST) {
+                // second match on this diagonal within PAIR_DIST; push
+                // once per (p, diag)
+                if (!(cand_epoch[p] == epoch && cand_diag[p] == udiag)) {
+                    cand_epoch[p] = epoch;
+                    cand_diag[p] = udiag;
+                    cand.emplace_back(
+                        (static_cast<uint64_t>(p) << DIAG_BITS) | udiag,
+                        static_cast<uint32_t>(q));
+                }
+            } else {
+                last_epoch[p] = epoch;
+                last_diag[p] = udiag;
+                last_qpos[p] = static_cast<uint32_t>(q);
+                if (!expand)
+                    cand.emplace_back(
+                        (static_cast<uint64_t>(p) << DIAG_BITS) | udiag,
+                        static_cast<uint32_t>(q));
+            }
         }
     };
-    // 1-2. expansion + index lookups -> flat (profile, diag) hit keys
     for (int64_t q = 0; q < n_codes; ++q) {
         int64_t code = query_codes[q];
         if (code < 0) continue;
@@ -285,15 +353,21 @@ static int64_t prefilter_query_impl(
                 static_cast<int64_t>(tables->l2_code[i2]) * N3;
             for (int64_t i3 = b3; i3 < e3; ++i3) {
                 if (tables->l3_score[i3] < need) break;
-                push_hits(base + tables->l3_code[i3], q);
+                const int64_t c = base + tables->l3_code[i3];
+                // overlap the entry-list fetch of the next similar k-mer
+                // with processing of the current one
+                if (i3 + 1 < e3 && tables->l3_score[i3 + 1] >= need)
+                    __builtin_prefetch(
+                        &code_table[base + tables->l3_code[i3 + 1]]);
+                push_hits(c, q);
             }
         }
     }
-    // 3. sort keys; runs of >= min_hits qualify (double-match criterion in
-    // expansion mode — suppresses the single-hit noise diagonals that
-    // similar-k-mer lists generate in bulk).
-    radix_sort_keys(hits, scratch.tmp);
-    const size_t min_hits = expand ? 2 : 1;
+    auto t_enum1 = std::chrono::steady_clock::now();
+    // 3. sort + dedup the candidate diagonals (grouped by profile so the
+    // Kadane passes of one profile's diagonals reuse its cached PSSM block)
+    std::sort(cand.begin(), cand.end());
+    auto t_sort1 = std::chrono::steady_clock::now();
     auto& selected = scratch.selected;
     selected.clear();
     float cur_best = -1.0f;
@@ -302,33 +376,71 @@ static int64_t prefilter_query_impl(
         if (cur_profile >= 0 && cur_best >= min_ungapped_score)
             selected.emplace_back(cur_best, cur_profile);
     };
+    // Extension window around the first double hit (query coords). The
+    // ungapped score is the maximal subarray CONTAINED in the window — a
+    // local-extension approximation of the full-diagonal score. The window
+    // exists to gate at min_ungapped_score (25): a homologous region
+    // reaches 25 well within ~2*W+K residues of the double hit; the gapped
+    // stage (full SW on device) rescores every survivor anyway, so a
+    // longer window would only refine candidate ORDER, at ~W-proportional
+    // DRAM cost that dominates the whole prefilter at production DB scale.
+    // (MMseqs2 likewise caps its prefilter diagonal scores — at the uchar
+    // saturation bound of its SIMD scorer.) Exact-k-mer mode (tests, small
+    // DBs, the numpy-fallback contract) keeps the full-diagonal scan.
+    const int64_t W = expand ? 16 : (query_length > DIAG_OFF
+                                         ? query_length
+                                         : static_cast<int64_t>(DIAG_OFF));
     size_t i = 0;
-    const size_t n = hits.size();
+    const size_t n = cand.size();
     while (i < n) {
         size_t j = i + 1;
-        while (j < n && hits[j] == hits[i]) ++j;
-        if (j - i >= min_hits) {
-            const int32_t p = static_cast<int32_t>(hits[i] >> DIAG_BITS);
+        while (j < n && cand[j].first == cand[i].first) ++j;
+        // look-ahead: the sorted candidate list makes upcoming PSSM
+        // windows fully predictable — overlap their first cache lines
+        // with the current candidate's scan (per-candidate first-touch
+        // misses are the scan's latency floor once W is small)
+        if (i + 4 < n) {
+            const uint64_t k4 = cand[i + 4].first;
+            const int32_t p4 = static_cast<int32_t>(k4 >> DIAG_BITS);
+            const int32_t d4 = static_cast<int32_t>(
+                (k4 & ((1u << DIAG_BITS) - 1)) - DIAG_OFF);
+            const int64_t hq4 = cand[i + 4].second;
+            const float* a4 =
+                pssm + (offsets[p4] + d4 + std::max<int64_t>(
+                                               d4 < 0 ? -d4 : 0, hq4 - W)) *
+                           NAA;
+            for (int r = 0; r < 8; r += 2)
+                __builtin_prefetch(a4 + r * NAA);
+        }
+        {
+            const uint64_t key = cand[i].first;
+            const int64_t hit_q = cand[i].second;
+            const int32_t p = static_cast<int32_t>(key >> DIAG_BITS);
             const int32_t diag = static_cast<int32_t>(
-                (hits[i] & ((1u << DIAG_BITS) - 1)) - DIAG_OFF);
+                (key & ((1u << DIAG_BITS) - 1)) - DIAG_OFF);
             if (p != cur_profile) {
                 flush();
                 cur_profile = p;
                 cur_best = -1.0f;
             }
-            // 4. Kadane maximal-subarray scan along the diagonal
+            // 4. Kadane maximal-subarray scan along the diagonal, windowed
             const int64_t p_len = lengths[p];
-            const int64_t q_start = diag < 0 ? -diag : 0;
-            const int64_t p_start = diag > 0 ? diag : 0;
-            const int64_t overlap =
-                std::min(query_length - q_start, p_len - p_start);
-            if (overlap > 0) {
-                const float* prof = pssm + offsets[p] * NAA;
+            const int64_t q_lo = std::max<int64_t>(diag < 0 ? -diag : 0,
+                                                   hit_q - W);
+            const int64_t q_hi = std::min<int64_t>(
+                std::min<int64_t>(query_length, p_len - diag),
+                hit_q + W + K);
+            if (q_hi > q_lo) {
+                const float* prof = pssm + (offsets[p] + diag) * NAA;
                 float running = 0.0f, best = 0.0f;
-                for (int64_t t = 0; t < overlap; ++t) {
-                    const int8_t res = residues[q_start + t];
+                for (int64_t t = q_lo; t < q_hi; ++t) {
+                    // PSSM rows are 80 B apart — every step opens a new
+                    // cache line; streaming ahead overlaps the misses
+                    if (t + 8 < q_hi)
+                        __builtin_prefetch(prof + (t + 8) * NAA);
+                    const int8_t res = residues[t];
                     const float s =
-                        res < NAA ? prof[(p_start + t) * NAA + res] : 0.0f;
+                        res < NAA ? prof[t * NAA + res] : 0.0f;
                     running += s;
                     if (running < 0.0f) running = 0.0f;
                     if (running > best) best = running;
@@ -339,6 +451,24 @@ static int64_t prefilter_query_impl(
         i = j;
     }
     flush();
+    if (stats) {
+        auto t_end = std::chrono::steady_clock::now();
+        g_stats.hits += n_hits;
+        g_stats.codes += n_exp_codes;
+        g_stats.cands += static_cast<int64_t>(cand.size());
+        g_stats.enum_ns +=
+            std::chrono::duration_cast<std::chrono::nanoseconds>(t_enum1 -
+                                                                 t_enum0)
+                .count();
+        g_stats.sort_ns +=
+            std::chrono::duration_cast<std::chrono::nanoseconds>(t_sort1 -
+                                                                 t_enum1)
+                .count();
+        g_stats.kadane_ns +=
+            std::chrono::duration_cast<std::chrono::nanoseconds>(t_end -
+                                                                 t_sort1)
+                .count();
+    }
     // output order: ungapped score descending, profile id ascending on ties
     // (MMseqs2's prefilter result order, consumed by --max-rejected)
     std::sort(selected.begin(), selected.end(), [](auto& x, auto& y) {
@@ -357,7 +487,7 @@ int64_t prefilter_query(
     const int32_t* code_table,
     const int32_t* entry_profiles,
     const int32_t* entry_positions,
-    int64_t n_entries,
+    int64_t n_profiles,
     const int64_t* query_codes,
     int64_t n_codes,
     const int8_t* residues,
@@ -371,15 +501,15 @@ int64_t prefilter_query(
     int32_t* out_profiles,
     float* out_scores,
     int64_t max_out) {
-    (void)n_entries;
     const ExpTables* tables =
         (subst != nullptr && kmer_thr < 1e30f) ? get_tables(subst, kmer_thr)
                                                : nullptr;
     Scratch scratch;
     return prefilter_query_impl(
-        code_table, entry_profiles, entry_positions, query_codes, n_codes,
-        residues, query_length, pssm, offsets, lengths, min_ungapped_score,
-        tables, out_profiles, out_scores, max_out, scratch);
+        code_table, entry_profiles, entry_positions, n_profiles, query_codes,
+        n_codes, residues, query_length, pssm, offsets, lengths,
+        min_ungapped_score, tables, out_profiles, out_scores, max_out,
+        scratch);
 }
 
 // Batched, multithreaded driver: runs the prefilter over n_queries
@@ -392,7 +522,7 @@ int64_t prefilter_batch(
     const int32_t* code_table,
     const int32_t* entry_profiles,
     const int32_t* entry_positions,
-    int64_t n_entries,
+    int64_t n_profiles,
     const int64_t* query_codes,      // concatenated
     const int64_t* code_offsets,     // (n_queries+1)
     const int8_t* residues,          // concatenated
@@ -409,7 +539,6 @@ int64_t prefilter_batch(
     int64_t* out_counts,    // (n_queries)
     int64_t max_out_per_query,
     int32_t n_threads) {
-    (void)n_entries;
     if (n_threads < 1) n_threads = 1;
     const ExpTables* tables =
         (subst != nullptr && kmer_thr < 1e30f) ? get_tables(subst, kmer_thr)
@@ -421,7 +550,7 @@ int64_t prefilter_batch(
             int64_t q = next.fetch_add(1);
             if (q >= n_queries) break;
             out_counts[q] = prefilter_query_impl(
-                code_table, entry_profiles, entry_positions,
+                code_table, entry_profiles, entry_positions, n_profiles,
                 query_codes + code_offsets[q],
                 code_offsets[q + 1] - code_offsets[q],
                 residues + residue_offsets[q],
@@ -436,6 +565,24 @@ int64_t prefilter_batch(
     for (int32_t t = 1; t < n_threads; ++t) threads.emplace_back(worker);
     worker();
     for (auto& t : threads) t.join();
+    if (stats_enabled() && n_queries > 4) {
+        std::fprintf(
+            stderr,
+            "[prefilter stats] %lld queries: %.2f M hits (%.0f/q), "
+            "%.2f M expanded codes (%.0f/q), %.0f cand/q; "
+            "enum %.1f ms/q, sort %.1f ms/q, kadane %.1f ms/q "
+            "(thread-summed)\n",
+            static_cast<long long>(n_queries),
+            g_stats.hits.load() / 1e6, g_stats.hits.load() / double(n_queries),
+            g_stats.codes.load() / 1e6,
+            g_stats.codes.load() / double(n_queries),
+            g_stats.cands.load() / double(n_queries),
+            g_stats.enum_ns.load() / 1e6 / n_queries,
+            g_stats.sort_ns.load() / 1e6 / n_queries,
+            g_stats.kadane_ns.load() / 1e6 / n_queries);
+        g_stats.hits = g_stats.codes = g_stats.cands = 0;
+        g_stats.enum_ns = g_stats.sort_ns = g_stats.kadane_ns = 0;
+    }
     return n_queries;
 }
 
