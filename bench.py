@@ -1,29 +1,35 @@
-"""Benchmark: IGLOO window-classification throughput on the attached device.
+"""Benchmark: pipeline throughput on the attached device.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 The headline metric is Mbp/s of nucleotide sequence classified by the NN
-branch (6,000 bp windows -> 5,997 tokens -> IGLOO forward, bf16).
+branch (6,000 bp windows -> 5,997 tokens -> IGLOO forward, bf16);
+vs_baseline divides by a MEASURED number (tools/measure_baseline.py runs
+the reference's own Keras classifier on this host's CPU; see BASELINE.md).
 
-vs_baseline divides by a MEASURED number: tools/measure_baseline.py runs
-the reference's own Keras classifier on this host's CPU exactly as
-genomad/modules/nn_classification.py does (batch 128, CPU pinned) and
-records it in tools/baseline_measured.json. No guessed constants.
-
-"extra" carries the marker-search engine's steady-state rate (the
-pipeline's dominant stage in the reference). Its reference counterpart
-(CPU MMseqs2) is NOT measurable in this environment — no mmseqs binary,
-no network — so its vs_baseline is null; see BASELINE.md.
+"extra" carries the rest of the pipeline, all measured here:
+  * marker search steady-state at 20k- and 227k-profile (production) scale,
+    in kaa/s and Mbp/s-equivalent of input DNA (1 Mbp of input -> ~0.3 M
+    aa of query residues at ~90% coding density / 3 nt per residue);
+  * gene calling (Mbp/s of input DNA through the prodigal-analog);
+  * synthetic end-to-end (FASTA -> summary) Mbp/s with a synthetic DB.
+The reference counterpart of the search (CPU MMseqs2) is NOT measurable in
+this environment — no mmseqs binary, no network — so its vs_baseline is
+null; see BASELINE.md.
 """
 
 import json
+import os
+import shutil
 import sys
+import tempfile
 import time
 from pathlib import Path
 
 import numpy as np
 
 WINDOW_BP = 6_000
+AA_PER_MBP = 300_000.0  # ~90% coding density, 3 nt per residue
 REPO = Path(__file__).resolve().parent
 
 
@@ -64,29 +70,37 @@ def bench_nn(jax, jnp) -> tuple[float, int]:
     return mbps, batch_size
 
 
-def bench_search(n_profiles: int = 20_000, n_queries: int = 500) -> dict:
-    """Marker-search steady-state rate on a synthetic profile DB."""
-    from genomad_tpu.ops import protein_search
-    from genomad_tpu.ops.profiledb import ALPHABET, N_AA, ProfileDB
+def _bench_db(n_profiles: int):
+    from genomad_tpu.ops.profiledb import ProfileDB
 
-    rng = np.random.default_rng(0)
     cache = Path(f"/tmp/genomad_tpu_bench_db_bg_{n_profiles}.npz")
     if cache.exists():
-        db = ProfileDB.load(cache)
-    else:
-        from genomad_tpu.ops.statistics import BACKGROUND_FREQS
+        return ProfileDB.load(cache)
+    from genomad_tpu.ops.statistics import BACKGROUND_FREQS
 
-        # background consensus composition — representative of real profile
-        # DBs (see tools/bench_search.py)
-        db = ProfileDB.synthetic(
-            seed=1,
-            n_profiles=n_profiles,
-            min_len=60,
-            max_len=400,
-            residue_freqs=BACKGROUND_FREQS,
-        )
-        db.save(cache)
+    db = ProfileDB.synthetic(
+        seed=1,
+        n_profiles=n_profiles,
+        min_len=60,
+        max_len=400,
+        residue_freqs=BACKGROUND_FREQS,
+    )
+    db.save(cache)
+    return db
 
+
+def bench_search(n_profiles: int, n_queries: int = 500) -> dict:
+    """Marker-search steady-state rate on a synthetic profile DB.
+
+    60% of queries are mutated consensus sequences (planted true hits),
+    40% random background — the realistic mixed load. Steady state = DB
+    resident in HBM, expansion tables built, programs compiled.
+    """
+    from genomad_tpu.ops import protein_search
+    from genomad_tpu.ops.profiledb import ALPHABET, N_AA
+
+    rng = np.random.default_rng(0)
+    db = _bench_db(n_profiles)
     names, seqs = [], []
     for qi in range(n_queries):
         if qi % 5 < 3:
@@ -104,18 +118,145 @@ def bench_search(n_profiles: int = 20_000, n_queries: int = 500) -> dict:
     start = time.perf_counter()
     hits = protein_search.search(names, seqs, db)
     elapsed = time.perf_counter() - start
-    rate = total_residues / elapsed
+    kaa_s = total_residues / elapsed / 1e3
+    mbps_eq = total_residues / elapsed / AA_PER_MBP
     print(
         f"# search {n_profiles} profiles x {n_queries} queries: "
-        f"{rate / 1e3:.1f} kaa/s steady-state, {len(hits)} hits",
+        f"{kaa_s:.1f} kaa/s = {mbps_eq:.4f} Mbp/s-eq, {len(hits)} hits",
         file=sys.stderr,
     )
     return {
         "metric": f"marker_search_steady_state(n_profiles={n_profiles},n_queries={n_queries})",
-        "value": round(rate / 1e3, 1),
+        "value": round(kaa_s, 2),
         "unit": "k_residues/s",
+        "mbps_equivalent_input": round(mbps_eq, 4),
         "vs_baseline": None,
-        "note": "reference CPU MMseqs2 unmeasurable here (no mmseqs binary, no network)",
+        "note": "reference CPU MMseqs2 unmeasurable here (no mmseqs binary, no network); host prefilter runs on 2 vCPUs (production TPU hosts have 20+ per chip)",
+    }
+
+
+def _synthetic_genome(total_mbp: float, seed: int = 7):
+    """Contigs with a gene-like structure: alternating spacers and ORFs."""
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    codons = [
+        "GCT", "TGT", "GAT", "GAA", "TTT", "GGT", "CAT", "ATT", "AAA", "CTG",
+        "ATG", "AAT", "CCG", "CAA", "CGT", "TCT", "ACT", "GTT", "TGG", "TAT",
+    ]
+    records = []
+    total = 0
+    target = int(total_mbp * 1e6)
+    ci = 0
+    while total < target:
+        parts = []
+        length = 0
+        contig_target = min(50_000, target - total)
+        while length < contig_target:
+            spacer = "".join(rng.choice(bases, int(rng.integers(50, 200))))
+            n_codons = int(rng.integers(100, 400))
+            orf = "ATG" + "".join(
+                codons[i] for i in rng.integers(0, 20, n_codons)
+            ) + "TAA"
+            parts.append(spacer + orf)
+            length += len(spacer) + len(orf)
+        seq = "".join(parts)
+        records.append((f"bench_contig_{ci}", seq))
+        total += len(seq)
+        ci += 1
+    return records, total
+
+
+def bench_gene_calling(total_mbp: float = 4.0) -> dict:
+    """Gene-calling throughput (Mbp/s of input DNA, training included)."""
+    from genomad_tpu.ops.gene_calling import Prodigal
+
+    records, total_bp = _synthetic_genome(total_mbp)
+    with tempfile.TemporaryDirectory() as td:
+        fasta = Path(td) / "input.fna"
+        with open(fasta, "w") as f:
+            for h, s in records:
+                f.write(f">{h}\n{s}\n")
+        out = Path(td) / "proteins.faa"
+        start = time.perf_counter()
+        Prodigal(fasta, out).run_parallel_prodigal()
+        elapsed = time.perf_counter() - start
+        n_genes = sum(1 for line in open(out) if line.startswith(">"))
+    mbps = total_bp / elapsed / 1e6
+    print(
+        f"# gene calling: {total_bp / 1e6:.1f} Mbp in {elapsed:.1f}s = "
+        f"{mbps:.3f} Mbp/s ({n_genes} genes)",
+        file=sys.stderr,
+    )
+    return {
+        "metric": f"gene_calling(total_mbp={total_mbp})",
+        "value": round(mbps, 3),
+        "unit": "Mbp/s",
+        "n_genes": n_genes,
+        "vs_baseline": None,
+        "note": "reference pyrodigal-gv not installed here; rate includes self-training",
+    }
+
+
+def bench_end_to_end(total_mbp: float = 2.0, n_profiles: int = 20_000) -> dict:
+    """FASTA -> summary wall-clock on a synthetic DB (the driver's actual
+    metric: Mbp/s classified per chip, BASELINE.json)."""
+    from genomad_tpu.cli import run_end_to_end
+
+    db = _bench_db(n_profiles)
+    records, total_bp = _synthetic_genome(total_mbp, seed=11)
+    tmp = Path(tempfile.mkdtemp(prefix="genomad_bench_e2e_"))
+    try:
+        db_dir = tmp / "genomad_db"
+        db_dir.mkdir()
+        (db_dir / "version.txt").write_text("1.9\n")
+        db.save(db_dir / "genomad_profiles.npz")
+        db.save(db_dir / "genomad_mini_profiles.npz")
+        from genomad_tpu.ops.profiledb import ProfileDB
+
+        ProfileDB.synthetic(seed=99, n_profiles=16, min_len=60, max_len=90).save(
+            db_dir / "genomad_integrase_profiles.npz"
+        )
+        header = "\t".join(
+            ["marker", "c1", "class", "c3", "spm_c", "spm_p", "spm_v", "gv",
+             "uscg", "ph", "vh", "conjscan", "amr", "acc", "desc", "t1", "t2"]
+        )
+        with open(db_dir / "genomad_marker_metadata.tsv", "w") as f:
+            f.write(header + "\n")
+            for i, name in enumerate(db.names):
+                spec = "VV" if i % 2 else "CC"
+                spm = ("0.1", "0.2", "0.9") if i % 2 else ("0.9", "0.2", "0.1")
+                f.write(
+                    f"{name}\tx\t{spec}\tx\t{spm[0]}\t{spm[1]}\t{spm[2]}\t0\tNA\t0\t"
+                    f"{1 if i % 2 else 0}\tNA\tNA\tPF{i:05d}\tdesc{i}\tx\tx\n"
+                )
+        with open(db_dir / "nodes.dmp", "w") as f:
+            for t, p, r in [(1, 1, "no rank"), (10, 1, "realm")]:
+                f.write(f"{t}\t|\t{p}\t|\t{r}\t|\n")
+        with open(db_dir / "names.dmp", "w") as f:
+            for t, n in [(1, "root"), (10, "Duplodnaviria")]:
+                f.write(f"{t}\t|\t{n}\t|\t\t|\tscientific name\t|\n")
+        fasta = tmp / "input.fna"
+        with open(fasta, "w") as f:
+            for h, s in records:
+                f.write(f">{h}\n{s}\n")
+        out_dir = tmp / "out"
+        start = time.perf_counter()
+        run_end_to_end(fasta, out_dir, db_dir, verbose=False)
+        elapsed = time.perf_counter() - start
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    mbps = total_bp / elapsed / 1e6
+    print(
+        f"# end-to-end: {total_bp / 1e6:.1f} Mbp in {elapsed:.1f}s = "
+        f"{mbps:.3f} Mbp/s (incl. cold compiles of this process)",
+        file=sys.stderr,
+    )
+    return {
+        "metric": f"end_to_end(total_mbp={total_mbp},n_profiles={n_profiles})",
+        "value": round(mbps, 4),
+        "unit": "Mbp/s",
+        "vs_baseline": None,
+        "note": "full pipeline FASTA->summary on a synthetic 20k-profile DB, one process (compiles included)",
     }
 
 
@@ -127,7 +268,19 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     nn_mbps, batch = bench_nn(jax, jnp)
-    search = bench_search()
+    extra = {"baseline_nn_cpu_mbps_measured": measured_baseline_mbps()}
+    for key, fn in [
+        ("search_20k", lambda: bench_search(20_000)),
+        ("search_227k", lambda: bench_search(227_897)),
+        ("gene_calling", bench_gene_calling),
+        ("end_to_end", bench_end_to_end),
+    ]:
+        if os.environ.get("GENOMAD_BENCH_FAST") and key in ("search_227k", "end_to_end"):
+            continue
+        try:
+            extra[key] = fn()
+        except Exception as exc:  # a sub-bench failure must not kill the run
+            extra[key] = {"error": f"{type(exc).__name__}: {exc}"}
 
     baseline = measured_baseline_mbps()
     print(
@@ -137,10 +290,7 @@ def main():
                 "value": round(nn_mbps, 3),
                 "unit": "Mbp/s",
                 "vs_baseline": round(nn_mbps / baseline, 2) if baseline else None,
-                "extra": {
-                    "baseline_nn_cpu_mbps_measured": baseline,
-                    "search": search,
-                },
+                "extra": extra,
             }
         )
     )

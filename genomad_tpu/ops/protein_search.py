@@ -172,34 +172,73 @@ def ka_params(lam: float, kk: float, db_positions: int) -> np.ndarray:
 
 
 @jax.jit
-def _sw_pair_stats(
+def _sw_fwd_gate(
     all_q: jnp.ndarray,
     all_p21: jnp.ndarray,
     q_lengths: jnp.ndarray,
     idx: jnp.ndarray,
     ka: jnp.ndarray,
 ) -> jnp.ndarray:
-    """One-dispatch SW statistics for a batch of (query, profile) pairs.
+    """Forward-only SW + E-value gate column for a batch of pairs.
 
-    Operand assembly, the forward pass, the alignment-start reversal, the
-    reverse pass, and the f32 gate columns all happen on device so a pair
-    batch costs exactly one host->device transfer (the (2, N) index array)
-    and one device->host transfer (the (N, 7) result) — transfer
-    round-trips, not compute, dominate when the device is reached through a
-    network tunnel.
+    Operand assembly, the forward pass, and the f32 E-value column all
+    happen on device so a pair batch costs exactly one host->device
+    transfer (the (2, N) index array) and one device->host transfer (the
+    (N, 4) result) — transfer round-trips, not compute, dominate when the
+    device is reached through a network tunnel. The reverse (alignment
+    start / coverage) pass runs separately (_sw_rev_cov) on E-value
+    SURVIVORS only — MMseqs2's own pass-1(mode 1)/pass-2(mode 2) split
+    (genomad/mmseqs2.py:107-140), which here halves SW compute because
+    most candidate pairs fail the E-value gate.
 
     all_q: (nq, Lq) staged padded queries; all_p21: (np, Lp, 21) staged
-    padded profiles; q_lengths: (nq,) f32; idx: (2, N) int32 rows into
-    each; ka: ka_params().
-    Returns (N, 7) f32: score, end_i, end_j, start_i, start_j, evalue32,
-    qcov32 (the last two from _gate_cols — identical to the sharded gate).
+    padded profiles (f32 or bf16 — converted in-program); q_lengths: (nq,)
+    f32; idx: (2, N) int32 rows into each; ka: ka_params().
+    Returns (N, 4) f32: score, end_i, end_j, evalue32 (from _gate_cols'
+    E-value formula — identical to the sharded gate).
     """
     q = jnp.take(all_q, idx[0], axis=0)
-    p = jnp.take(all_p21, idx[1], axis=0)
-    stats = _pair_stats_ops(q, p)
+    p = jnp.take(all_p21, idx[1], axis=0).astype(jnp.float32)
+    best, end_i, end_j = _sw_dispatch(q, p)
     qlen = jnp.take(q_lengths, idx[0]).astype(jnp.float32)
-    ev, qcov = _gate_cols(stats[:, 0], stats[:, 1], stats[:, 3], qlen, ka)
-    return jnp.concatenate([stats, ev[:, None], qcov[:, None]], axis=1)
+    ev, _ = _gate_cols(best, end_i.astype(jnp.float32), jnp.zeros_like(best), qlen, ka)
+    return jnp.stack(
+        [best, end_i.astype(jnp.float32), end_j.astype(jnp.float32), ev],
+        axis=1,
+    )
+
+
+@jax.jit
+def _sw_rev_cov(
+    all_q: jnp.ndarray,
+    all_p21: jnp.ndarray,
+    q_lengths: jnp.ndarray,
+    idx: jnp.ndarray,
+    ends: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reverse-pass query coverage for pairs that passed the E-value gate.
+
+    idx: (2, M) rows into the staged operand caches; ends: (2, M) f32
+    (end_i, end_j) from the forward pass. Returns (M,) f32 qcov32 =
+    (end_i - start_i + 1) / qlen with start_i from the reverse SW — the
+    same f32 statistic the sharded gate computes (_gate_cols).
+    """
+    q = jnp.take(all_q, idx[0], axis=0)
+    p = jnp.take(all_p21, idx[1], axis=0).astype(jnp.float32)
+    Lq, Lp = q.shape[1], p.shape[1]
+    end_i = ends[0].astype(jnp.int32)
+    end_j = ends[1].astype(jnp.int32)
+    tq = end_i[:, None] - jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    rev_q = jnp.where(tq >= 0, jnp.take_along_axis(q, jnp.maximum(tq, 0), axis=1), 20)
+    tp = end_j[:, None] - jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    rev_p = jnp.where(
+        (tp >= 0)[:, :, None],
+        jnp.take_along_axis(p, jnp.maximum(tp, 0)[:, :, None], axis=1),
+        0.0,
+    )
+    _, rev_i, _ = _sw_dispatch(rev_q, rev_p)
+    qlen = jnp.take(q_lengths, idx[0]).astype(jnp.float32)
+    return (rev_i.astype(jnp.float32) + 1.0) / qlen
 
 
 _INT32_MAX = np.iinfo(np.int32).max
@@ -418,10 +457,14 @@ def prefilter_query(
 
 
 # Length-bucket upper bounds shared by the padded operand caches: every
-# staged dimension is padded to one of these (or a power of two) so the
-# compiled program set is small, stable across runs, and served by the
-# persistent compilation cache.
-_BOUNDS = (64, 128, 256, 512, 1024, 4096, 65536)
+# staged dimension is padded to one of these so the compiled program set is
+# small, stable across runs, and served by the persistent compilation cache.
+# Deliberately coarse (no 64 bucket; 4096 jumps to 32768): each extra bucket
+# multiplies the number of compiled SW programs (cold start through the
+# axon remote-compile helper costs ~30-60 s per program shape), while
+# padding waste only costs linear VPU work on a stage that is not the
+# bottleneck.
+_BOUNDS = (128, 256, 512, 1024, 4096, 32768)
 
 
 def _bucket_bound(lengths):
@@ -430,6 +473,14 @@ def _bucket_bound(lengths):
 
 def _pow2(n: int, floor: int = 128) -> int:
     return max(floor, 1 << (max(n, 1) - 1).bit_length())
+
+
+def _count_pad(n: int) -> int:
+    """Pad a profile count to a multiple of 4096 (pow2 below that): at
+    227k-profile scale, power-of-two padding of ~90k-profile buckets wastes
+    ~50% of staged HBM; multiples of 4096 keep the compiled-shape set just
+    as stable for a given database while bounding waste to <5%."""
+    return _pow2(n) if n <= 4096 else -(-n // 4096) * 4096
 
 
 @dataclass
@@ -452,7 +503,7 @@ def search(
     min_qcov: float = 0.2,
     min_ungapped_score: float = 25.0,
     skip_prefilter: bool = False,
-    batch_size: int = 512,
+    batch_size: int = 128,
     mesh=None,
     db_positions: int | None = None,
     max_seqs: int = 10_000_000,
@@ -500,65 +551,56 @@ def search(
     # that order) is disabled — every pair is aligned, a superset of what
     # any truncation would align.
     nq = len(residues_list)
-    if skip_prefilter or db.n_profiles <= 256:
-        cand_ids = [np.arange(db.n_profiles, dtype=np.int64)] * nq
+    q_lengths = np.array([len(r) for r in residues_list], np.int64)
+    # max_seqs: candidates per query are capped to the top-``max_seqs``
+    # by ungapped prefilter score — MMseqs2's --max-seqs. The reference
+    # passes ``--max-seqs 10000000`` (effectively uncapped,
+    # genomad/mmseqs2.py:90-91), which is this function's default; any
+    # overflow past the cap is logged, never silent.
+    # a query can select at most n_profiles candidates, so the output
+    # buffer bound never needs to exceed it — with the reference's
+    # 10M default the cap is therefore never hit (zero drops)
+    out_bound = min(int(max_seqs), db.n_profiles)
+    all_pairs = skip_prefilter or db.n_profiles <= 256
+    if all_pairs:
         max_rejected = 0
+        kmer_thr = None
+        index = None
     else:
-        from genomad_tpu import native
         from genomad_tpu.ops import blosum
 
         kmer_thr = blosum.kmer_score_threshold(sensitivity)
         index = db.kmer_index(1)  # consensus k-mers; sensitivity is query-side
-        n_dropped = 0
-        # max_seqs: candidates per query are capped to the top-``max_seqs``
-        # by ungapped prefilter score — MMseqs2's --max-seqs. The reference
-        # passes ``--max-seqs 10000000`` (effectively uncapped,
-        # genomad/mmseqs2.py:90-91), which is this function's default; any
-        # overflow past the cap is logged, never silent.
-        # a query can select at most n_profiles candidates, so the output
-        # buffer bound never needs to exceed it — with the reference's
-        # 10M default the cap is therefore never hit (zero drops)
-        out_bound = min(int(max_seqs), db.n_profiles)
+
+    drop_total = [0]
+
+    def prefilter_group(q_idx):
+        """Candidate id lists for one group of query indices (host CPU)."""
+        if all_pairs:
+            return [np.arange(db.n_profiles, dtype=np.int64)] * len(q_idx)
+        from genomad_tpu import native
+
+        res_sub = [residues_list[i] for i in q_idx]
         result = native.native_prefilter_batch(
-            index,
-            residues_list,
-            db,
-            min_ungapped_score,
-            kmer_thr=kmer_thr,
-            max_out_per_query=out_bound,
+            index, res_sub, db, min_ungapped_score,
+            kmer_thr=kmer_thr, max_out_per_query=out_bound,
         )
         if result is None:  # no C++ toolchain: numpy fallback
             cache: dict = {}
             drop_list: list = []
-            cand_ids = [
+            ids_list = [
                 prefilter_query(
-                    residues,
-                    db,
-                    index,
-                    min_ungapped_score,
-                    max_candidates=out_bound,
-                    kmer_thr=kmer_thr,
-                    expansion_cache=cache,
-                    drops=drop_list,
+                    residues_list[i], db, index, min_ungapped_score,
+                    max_candidates=out_bound, kmer_thr=kmer_thr,
+                    expansion_cache=cache, drops=drop_list,
                 )[0].astype(np.int64)
-                for residues in residues_list
+                for i in q_idx
             ]
-            n_dropped = sum(drop_list)
-        else:
-            ids_list, _scores_list, n_dropped = result
-            cand_ids = [ids.astype(np.int64) for ids in ids_list]
-        if n_dropped:
-            import warnings
-
-            warnings.warn(
-                f"prefilter: kept the top {out_bound} candidates per query "
-                f"by ungapped score (--max-seqs semantics); {n_dropped} "
-                "weaker candidates dropped across the batch"
-            )
-    n_cands = np.array([len(c) for c in cand_ids], np.int64)
-    if not n_cands.sum():
-        return {}
-    q_lengths = np.array([len(r) for r in residues_list], np.int64)
+            drop_total[0] += sum(drop_list)
+            return ids_list
+        ids_list, _scores_list, n_dropped = result
+        drop_total[0] += n_dropped
+        return [ids.astype(np.int64) for ids in ids_list]
 
     # ---- staged operand caches (shared by both stage-2 backends) ----
     # Every staged array dimension is padded to a power of two so the
@@ -595,7 +637,14 @@ def search(
         pad/unknown column appended. Cached on the DB object: the profile
         database uploads to HBM once per process, not once per search —
         this is the device-resident replacement for MMseqs2's target-DB
-        memory-mapping (genomad/mmseqs2.py:83-95)."""
+        memory-mapping (genomad/mmseqs2.py:83-95).
+
+        Large databases stage in bfloat16: real geNomad/MMseqs2 profile
+        scores are small integers (int8 in the source format), which bf16
+        represents exactly, and f32 staging of a 227k-profile DB would
+        need ~9 GB of HBM + minutes of host->device transfer. Small
+        (test/integrase-scale) DBs keep f32 so synthetic float PSSMs match
+        the host reference bit-for-bit."""
         cache = db.__dict__.setdefault("_device_buckets", {})
         if pb_i not in cache:
             Lp = _BOUNDS[pb_i]
@@ -603,7 +652,8 @@ def search(
             lens = db.lengths[ids].astype(np.int64)
             rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
             mask = np.arange(Lp)[None, :] < lens[:, None]
-            arr = np.zeros((_pow2(len(ids)), Lp, N_AA + 1), np.float32)
+            dtype = np.float32 if db.n_profiles <= 4096 else jnp.bfloat16
+            arr = np.zeros((_count_pad(len(ids)), Lp, N_AA + 1), dtype)
             arr[: len(ids), :, :N_AA] = np.where(
                 mask[:, :, None], db.pssm[np.minimum(rows, db.offsets[-1] - 1)], 0.0
             )
@@ -622,8 +672,10 @@ def search(
         if key not in cache:
             Lp = _BOUNDS[pb_i]
             ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
-            p_loc = _pow2(-(-len(ids) // n_db), floor=8)
-            arr = np.zeros((n_db * p_loc, Lp, N_AA + 1), np.float32)
+            per_shard = -(-len(ids) // n_db)
+            p_loc = _pow2(per_shard, floor=8) if per_shard <= 4096 else _count_pad(per_shard)
+            dtype = np.float32 if db.n_profiles <= 4096 else jnp.bfloat16
+            arr = np.zeros((n_db * p_loc, Lp, N_AA + 1), dtype)
             lens = db.lengths[ids].astype(np.int64)
             rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
             mask = np.arange(Lp)[None, :] < lens[:, None]
@@ -637,26 +689,35 @@ def search(
             )
         return cache[key]
 
-    if mesh is not None and (
+    ka = ka_params(float(lam), float(kk), int(db_positions))
+    sharded = mesh is not None and (
         mesh.shape.get("db", 1) > 1 or mesh.shape.get("data", 1) > 1
-    ):
-        stats_fn = functools.partial(
+    )
+    if sharded:
+        full_stats_fn = functools.partial(
             _pair_stats_sharded,
             db=db,
             q_lengths=q_lengths,
             mesh=mesh,
             get_padded_queries=get_padded_queries,
             get_staged_shards=get_staged_shards,
-            ka=ka_params(float(lam), float(kk), int(db_positions)),
+            ka=ka,
         )
     else:
-        stats_fn = functools.partial(
-            _pair_stats_host,
+        fwd_fn = functools.partial(
+            _pair_fwd_host,
             db=db,
             q_lengths=q_lengths,
             get_padded_queries=get_padded_queries,
             get_staged_profiles=get_staged_profiles,
-            ka=ka_params(float(lam), float(kk), int(db_positions)),
+            ka=ka,
+        )
+        cov_fn = functools.partial(
+            _pair_cov_host,
+            db=db,
+            q_lengths=q_lengths,
+            get_padded_queries=get_padded_queries,
+            get_staged_profiles=get_staged_profiles,
         )
 
     # ---- stage 2: rounds of batched SW + --max-rejected + best hit ----
@@ -670,46 +731,101 @@ def search(
     # stop point from the accept flags, discard results past it — bit-equal
     # to the reference's sequential accept/reject walk. Rounds exist only
     # to bound wasted alignment past stop points; most queries finish in
-    # round 1.
+    # round 1. The host backend aligns forward-only first and runs the
+    # reverse/coverage pass on E-value survivors (same accept decisions:
+    # only E-passing pairs can be accepted, and rejections count E-value
+    # failures only, as in the reference's pass-1).
     best_score = np.full(nq, -np.inf, np.float32)
     best_gid = np.full(nq, _INT32_MAX, np.int64)
-    pos = np.zeros(nq, np.int64)
-    carry = np.zeros(nq, np.int64)
-    alive = n_cands > 0
+    carry = np.zeros(nq, np.int64)  # per-query rejection runs (global ids)
     round_size = max(512, int(max_rejected))
-    while np.any(alive):
-        idxs = np.where(alive)[0]
-        sq, sp = [], []
-        for q in idxs:
-            sl = cand_ids[q][pos[q] : pos[q] + round_size]
-            sq.append(np.full(len(sl), q, np.int64))
-            sp.append(sl)
-        pairs_q = np.concatenate(sq)
-        pairs_p = np.concatenate(sp)
-        stats = stats_fn(pairs_q, pairs_p)
-        score, ev32, qcov32 = stats[:, 0], stats[:, 5], stats[:, 6]
-        keep1 = ev32 <= np.float32(evalue_threshold)
-        if max_rejected:
-            aligned, carry, stopped = _max_rejected_mask(
-                pairs_q, keep1, carry, int(max_rejected)
-            )
-        else:
-            aligned = np.ones(len(keep1), bool)
-            stopped = np.zeros(len(idxs), bool)
-        acc = aligned & keep1 & (qcov32 >= np.float32(min_qcov))
-        if np.any(acc):
-            a_q, a_p, a_s = pairs_q[acc], pairs_p[acc], score[acc]
-            order = np.lexsort((a_p, -a_s, a_q))
-            a_q, a_p, a_s = a_q[order], a_p[order], a_s[order]
-            first = np.concatenate([[True], a_q[1:] != a_q[:-1]])
-            bq, bp, bs = a_q[first], a_p[first], a_s[first]
-            better = (bs > best_score[bq]) | (
-                (bs == best_score[bq]) & (bp < best_gid[bq])
-            )
-            best_score[bq[better]] = bs[better]
-            best_gid[bq[better]] = bp[better]
-        pos[idxs] += np.minimum(round_size, n_cands[idxs] - pos[idxs])
-        alive[idxs] = ~stopped & (pos[idxs] < n_cands[idxs])
+
+    def run_stage2(q_idx, cand_group):
+        nonlocal carry
+        n_cands = np.array([len(c) for c in cand_group], np.int64)
+        pos = np.zeros(len(q_idx), np.int64)
+        alive = n_cands > 0
+        while np.any(alive):
+            local = np.where(alive)[0]
+            sq, sp = [], []
+            for li in local:
+                sl = cand_group[li][pos[li] : pos[li] + round_size]
+                sq.append(np.full(len(sl), q_idx[li], np.int64))
+                sp.append(sl)
+            pairs_q = np.concatenate(sq)
+            pairs_p = np.concatenate(sp)
+            if sharded:
+                stats = full_stats_fn(pairs_q, pairs_p)
+                score, ev32 = stats[:, 0], stats[:, 5]
+                qcov32 = stats[:, 6]
+                ends = None
+            else:
+                fwd = fwd_fn(pairs_q, pairs_p)
+                score, ev32 = fwd[:, 0], fwd[:, 3]
+                ends = fwd[:, 1:3]
+                qcov32 = None
+            keep1 = ev32 <= np.float32(evalue_threshold)
+            if max_rejected:
+                aligned, carry, stopped = _max_rejected_mask(
+                    pairs_q, keep1, carry, int(max_rejected)
+                )
+            else:
+                aligned = np.ones(len(keep1), bool)
+                stopped = np.zeros(len(local), bool)
+            need_cov = aligned & keep1
+            if qcov32 is None:
+                qcov32 = np.zeros(len(keep1), np.float32)
+                if np.any(need_cov):
+                    qcov32[need_cov] = cov_fn(
+                        pairs_q[need_cov], pairs_p[need_cov],
+                        ends[need_cov],
+                    )
+            acc = need_cov & (qcov32 >= np.float32(min_qcov))
+            if np.any(acc):
+                a_q, a_p, a_s = pairs_q[acc], pairs_p[acc], score[acc]
+                order = np.lexsort((a_p, -a_s, a_q))
+                a_q, a_p, a_s = a_q[order], a_p[order], a_s[order]
+                first = np.concatenate([[True], a_q[1:] != a_q[:-1]])
+                bq, bp, bs = a_q[first], a_p[first], a_s[first]
+                better = (bs > best_score[bq]) | (
+                    (bs == best_score[bq]) & (bp < best_gid[bq])
+                )
+                best_score[bq[better]] = bs[better]
+                best_gid[bq[better]] = bp[better]
+            pos[local] += np.minimum(round_size, n_cands[local] - pos[local])
+            alive[local] = ~stopped & (pos[local] < n_cands[local])
+
+    # ---- pipeline: the host prefilter of group k+1 overlaps the device
+    # alignment of group k (the C++ batch call releases the GIL; stage 2
+    # mostly waits on device round-trips). This replaces the reference's
+    # sequential prefilter -> align subprocess chain with a two-stage
+    # host/device pipeline.
+    group_size = max(64, int(batch_size))
+    groups = [
+        np.arange(s, min(s + group_size, nq), dtype=np.int64)
+        for s in range(0, nq, group_size)
+    ]
+    if len(groups) <= 1 or all_pairs:
+        for g in groups:
+            run_stage2(g, prefilter_group(g))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(prefilter_group, groups[0])
+            for gi, g in enumerate(groups):
+                cand_group = fut.result()
+                if gi + 1 < len(groups):
+                    fut = ex.submit(prefilter_group, groups[gi + 1])
+                run_stage2(g, cand_group)
+    if drop_total[0]:
+        import warnings
+
+        warnings.warn(
+            f"prefilter: kept the top {out_bound} candidates per query "
+            f"by ungapped score (--max-seqs semantics); {drop_total[0]} "
+            "weaker candidates dropped across the batch"
+        )
 
     out = {}
     for qi in range(nq):
@@ -768,7 +884,17 @@ def _max_rejected_mask(seg_q, keep, carry, max_rejected):
 _MAX_CHUNK = 8192  # pairs per device program call
 
 
-def _pair_stats_host(
+def _chunk_pad(n: int, total: int) -> int:
+    """Padded pair count for one dispatch chunk. Production-size rounds
+    (more than one full chunk) always use the single _MAX_CHUNK shape so
+    one compiled program per operand bucket serves the whole search; small
+    searches pad to a power of two (floor 256) to stay cheap on CPU."""
+    if total > _MAX_CHUNK:
+        return _MAX_CHUNK
+    return max(256, 1 << (max(n, 1) - 1).bit_length())
+
+
+def _pair_fwd_host(
     pairs_q,
     pairs_p,
     db,
@@ -777,11 +903,12 @@ def _pair_stats_host(
     get_staged_profiles,
     ka,
 ):
-    """(N, 7) per-pair SW stats via async per-bucket dispatches on the
-    default device. All chunks are dispatched before the single sync pass,
-    so host<->device transfer round-trips overlap device compute."""
+    """(N, 4) forward-pass stats (score, end_i, end_j, evalue32) via async
+    per-bucket dispatches on the default device. All chunks are dispatched
+    before the single sync pass, so host<->device transfer round-trips
+    overlap device compute."""
     N = len(pairs_q)
-    out = np.empty((N, 7), np.float32)
+    out = np.empty((N, 4), np.float32)
     qb = _bucket_bound(q_lengths[pairs_q])
     pb = _bucket_bound(db.lengths[pairs_p])
     pending = []
@@ -792,18 +919,56 @@ def _pair_stats_host(
             p_ids, all_p21_dev = get_staged_profiles(pb_i)
             for chunk_start in range(0, len(sel), _MAX_CHUNK):
                 chunk = sel[chunk_start : chunk_start + _MAX_CHUNK]
-                # pad the pair count to a power of two so compiled program
-                # shapes stay few and reusable across runs
-                n_pad = max(256, 1 << (len(chunk) - 1).bit_length())
+                n_pad = _chunk_pad(len(chunk), len(sel))
                 idx = np.zeros((2, n_pad), np.int32)
                 idx[0, : len(chunk)] = pairs_q[chunk]
                 idx[1, : len(chunk)] = np.searchsorted(p_ids, pairs_p[chunk])
-                stats_dev = _sw_pair_stats(
+                stats_dev = _sw_fwd_gate(
                     all_q_dev, all_p21_dev, qlen_dev, jnp.asarray(idx), ka
                 )
                 pending.append((chunk, stats_dev))
     for chunk, stats_dev in pending:
         out[chunk] = np.asarray(stats_dev)[: len(chunk)]
+    return out
+
+
+def _pair_cov_host(
+    pairs_q,
+    pairs_p,
+    ends,
+    db,
+    q_lengths,
+    get_padded_queries,
+    get_staged_profiles,
+):
+    """(M,) reverse-pass query coverage for E-value survivors.
+
+    ends: (M, 2) f32 forward (end_i, end_j) per pair."""
+    M = len(pairs_q)
+    out = np.empty(M, np.float32)
+    qb = _bucket_bound(q_lengths[pairs_q])
+    pb = _bucket_bound(db.lengths[pairs_p])
+    pending = []
+    for qb_i in np.unique(qb):
+        all_q_dev, qlen_dev = get_padded_queries(qb_i)
+        for pb_i in np.unique(pb[qb == qb_i]):
+            sel = np.where((qb == qb_i) & (pb == pb_i))[0]
+            p_ids, all_p21_dev = get_staged_profiles(pb_i)
+            for chunk_start in range(0, len(sel), _MAX_CHUNK):
+                chunk = sel[chunk_start : chunk_start + _MAX_CHUNK]
+                n_pad = _chunk_pad(len(chunk), len(sel))
+                idx = np.zeros((2, n_pad), np.int32)
+                idx[0, : len(chunk)] = pairs_q[chunk]
+                idx[1, : len(chunk)] = np.searchsorted(p_ids, pairs_p[chunk])
+                e = np.zeros((2, n_pad), np.float32)
+                e[:, : len(chunk)] = ends[chunk].T
+                cov_dev = _sw_rev_cov(
+                    all_q_dev, all_p21_dev, qlen_dev, jnp.asarray(idx),
+                    jnp.asarray(e),
+                )
+                pending.append((chunk, cov_dev))
+    for chunk, cov_dev in pending:
+        out[chunk] = np.asarray(cov_dev)[: len(chunk)]
     return out
 
 
@@ -834,7 +999,7 @@ def _sharded_pair_stats_program(
     def body(all_q, qlen, p_loc, idx, ka):
         idx = idx[0, 0]  # strip the per-device stack axes
         q = jnp.take(all_q, idx[0], axis=0)
-        p = jnp.take(p_loc, idx[1], axis=0)
+        p = jnp.take(p_loc, idx[1], axis=0).astype(jnp.float32)
         stats = _pair_stats_ops(q, p)
         ql = jnp.take(qlen, idx[0]).astype(jnp.float32)
         ev, qcov = _gate_cols(stats[:, 0], stats[:, 1], stats[:, 3], ql, ka)

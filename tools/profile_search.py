@@ -77,7 +77,7 @@ def main(n_profiles: int = 20_000, n_queries: int = 500) -> None:
     )
 
     # stage 2 with instrumented pair-stat calls
-    orig = protein_search._pair_stats_host
+    orig = protein_search._pair_fwd_host
     stat = {"pairs": 0, "calls": 0, "t": 0.0}
 
     def wrapped(pairs_q, pairs_p, **kw):
@@ -88,13 +88,13 @@ def main(n_profiles: int = 20_000, n_queries: int = 500) -> None:
         stat["calls"] += 1
         return out
 
-    protein_search._pair_stats_host = wrapped
+    protein_search._pair_fwd_host = wrapped
     try:
         t = time.perf_counter()
         hits = protein_search.search(names, seqs, db)
         total = time.perf_counter() - t
     finally:
-        protein_search._pair_stats_host = orig
+        protein_search._pair_fwd_host = orig
     log(
         f"search cold total: {total:.2f}s, {len(hits)} hits; "
         f"stage2: {stat['pairs']:,} pairs in {stat['calls']} rounds, "
@@ -102,13 +102,13 @@ def main(n_profiles: int = 20_000, n_queries: int = 500) -> None:
     )
 
     stat.update(pairs=0, calls=0, t=0.0)
-    protein_search._pair_stats_host = wrapped
+    protein_search._pair_fwd_host = wrapped
     try:
         t = time.perf_counter()
         hits = protein_search.search(names, seqs, db)
         total = time.perf_counter() - t
     finally:
-        protein_search._pair_stats_host = orig
+        protein_search._pair_fwd_host = orig
     tot_res = sum(len(s) for s in seqs)
     log(
         f"search steady total: {total:.2f}s -> {n_queries / total:.1f} q/s, "
