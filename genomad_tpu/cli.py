@@ -85,6 +85,21 @@ def common_options(fn):
 @click.version_option(version=genomad_tpu.__version__, prog_name="genomad-tpu")
 def cli():
     """genomad-tpu: TPU-native identification of mobile genetic elements."""
+    # Multi-host pods: join the jax.distributed cluster when a coordinator
+    # is configured (GENOMAD_TPU_MULTIHOST / JAX_COORDINATOR_ADDRESS /
+    # COORDINATOR_ADDRESS env vars) so every module's device mesh spans all
+    # hosts. No-op on a single host; deferred import keeps CLI startup
+    # JAX-free for commands that never touch a device.
+    import os
+
+    if (
+        os.environ.get("GENOMAD_TPU_MULTIHOST")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    ):
+        from genomad_tpu.parallel import mesh as meshlib
+
+        meshlib.initialize_distributed()
 
 
 @cli.command(context_settings=CONTEXT_SETTINGS)

@@ -20,10 +20,15 @@ from genomad_tpu.paths import GenomadOutputs
 
 
 def default_search_mesh():
-    """A (data=1, db=n_devices) mesh when more than one accelerator is
-    attached, else None. The profile DB shards natively across devices —
-    the replacement for the reference's serial ``--splits`` chunking
-    (genomad/mmseqs2.py:83-95)."""
+    """A balanced (data, db) mesh when more than one accelerator is
+    attached, else None. The profile DB shards over 'db' (the native
+    replacement for the reference's serial ``--splits`` chunking,
+    genomad/mmseqs2.py:83-95) and query-pair batches shard over BOTH axes
+    (ops.protein_search), so the 'data' axis carries query-batch
+    parallelism — the device-side replacement for the reference's process
+    pools (genomad/prodigal.py:23-29). Multi-host pods are joined first
+    via parallel.mesh.initialize_distributed() (called by the CLI), which
+    makes jax.devices() global."""
     import jax
 
     devices = jax.devices()
@@ -31,7 +36,8 @@ def default_search_mesh():
         return None
     from genomad_tpu.parallel import mesh as meshlib
 
-    return meshlib.make_mesh(n_data=1, n_db=len(devices))
+    n_data, n_db = meshlib.balanced_factorization(len(devices))
+    return meshlib.make_mesh(n_data=n_data, n_db=n_db)
 
 
 def run_search(proteins_path, output_path, db, use_minimal_db=False, use_integrase_db=False, sensitivity=4.2, evalue=1e-3, mesh=None):

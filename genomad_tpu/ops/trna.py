@@ -14,12 +14,20 @@ This module implements a structure-anchored cloverleaf detector:
     slack, wide enough for type II long-variable-arm tRNAs) are scored by
     Watson-Crick/GU base-pairing in all FOUR stems (21 pairable positions:
     acceptor 7 + D 4 + anticodon 5 + T 5), each with a per-stem minimum;
-  * candidates above the pairing threshold (19/21 at the -ps105 operating
-    point; sensitivity 1.00 on architecture-generated type I+II genes,
-    0.95 with 2 stem mismatches, ~1 false call per 200 kb of random DNA —
-    tests/test_trna.py) are reported with the amino acid decoded from the
-    anticodon; both strands are scanned; overlapping calls keep the best
-    score.
+  * candidates are scored on ARAGORN's reporting scale: Watson-Crick pairs
+    score 2, GU wobble pairs 1, plus conserved-base bonuses (anchored
+    T-loop, U33, purine-37), scaled so a canonical fully-paired gene lands
+    at ~120 points and ARAGORN's default acceptance threshold corresponds
+    to 100 points. ``-psN`` then means exactly what it means in ARAGORN —
+    the cutoff moves to N% of the default threshold, i.e. N points
+    (genomad passes ``-ps105`` -> accept at 105; aragorn.py:13-17) —
+    instead of round 2's guessed linear rescale of a pair-count.
+    Sensitivity 1.00 on architecture-generated type I+II genes, >= 0.9
+    with realistic GU-wobble stems, ~1 false call per 200 kb of random DNA
+    (tests/test_trna.py). The absolute point scale could not be verified
+    against an ARAGORN binary here (none installed, no network);
+    tools/trna_vs_aragorn.py runs the comparison automatically wherever
+    one exists.
 
 Output rows match the reference's parsed format exactly.
 """
@@ -30,9 +38,9 @@ from pathlib import Path
 
 from genomad_tpu import sequence as seqlib
 
-_PAIRS = {
-    ("A", "T"), ("T", "A"), ("G", "C"), ("C", "G"), ("G", "T"), ("T", "G"),
-}
+_WC = {("A", "T"), ("T", "A"), ("G", "C"), ("C", "G")}
+_GU = {("G", "T"), ("T", "G")}
+_PAIRS = _WC | _GU
 
 _AA3 = {
     "A": "Ala", "R": "Arg", "N": "Asn", "D": "Asp", "C": "Cys", "Q": "Gln",
@@ -41,11 +49,25 @@ _AA3 = {
     "Y": "Tyr", "V": "Val", "*": "SeC", "X": "Pyl",
 }
 
-MIN_PAIR_SCORE = 19  # of 21 stem positions (the -ps105 operating point)
+# ARAGORN-scale scoring: default acceptance threshold = 100 points;
+# geNomad's -ps105 accepts at 105 (genomad/aragorn.py:13-17).
+DEFAULT_THRESHOLD = 105.0
+_SCALE = 2.5  # points per raw unit: perfect type I = (42 + 6) * 2.5 = 120
 
 
 def _n_pairs(a: str, b_reversed: str) -> int:
     return sum((x, y) in _PAIRS for x, y in zip(a, b_reversed[::-1]))
+
+
+def _pair_points(a: str, b_reversed: str) -> float:
+    """Raw pairing quality of a stem: WC = 2, GU wobble = 1, mismatch = 0."""
+    total = 0.0
+    for x, y in zip(a, b_reversed[::-1]):
+        if (x, y) in _WC:
+            total += 2.0
+        elif (x, y) in _GU:
+            total += 1.0
+    return total
 
 
 def _anticodon_to_aa(anticodon: str) -> str:
@@ -56,9 +78,9 @@ def _anticodon_to_aa(anticodon: str) -> str:
     return _AA3.get(aa, "Und")
 
 
-def _scan_strand(seq: str, min_score: int = MIN_PAIR_SCORE):
+def _scan_strand(seq: str, min_score: float = DEFAULT_THRESHOLD):
     """Yield (start0, end0_inclusive, score, aa) candidate tRNAs on the
-    given strand.
+    given strand; ``score`` is in ARAGORN points (see module docstring).
 
     Geometry ranges cover both tRNA classes: the 5' arm search reaches 65
     nt upstream of the T-loop anchor so type II tRNAs (Leu/Ser/SeC, long
@@ -71,26 +93,39 @@ def _scan_strand(seq: str, min_score: int = MIN_PAIR_SCORE):
         if m >= 46 and m + 19 < n:
             t_stem = _n_pairs(seq[m - 5 : m], seq[m + 7 : m + 12])
             if t_stem >= 4:
+                t_pts = _pair_points(seq[m - 5 : m], seq[m + 7 : m + 12])
                 acc3 = seq[m + 12 : m + 19]
                 for start in range(m - 65, m - 45):
                     if start < 0:
                         continue
                     acc5 = seq[start : start + 7]
-                    acc = _n_pairs(acc5, acc3)
-                    if acc < 6:
+                    if _n_pairs(acc5, acc3) < 6:
                         continue
+                    acc_pts = _pair_points(acc5, acc3)
                     # anticodon arm: stem 5 bp + loop 7 nt + stem 5 bp
                     for q in range(start + 21, start + 31):
                         ac5 = seq[q : q + 5]
                         ac3 = seq[q + 12 : q + 17]
-                        ac = _n_pairs(ac5, ac3)
-                        if ac < 4:
+                        if _n_pairs(ac5, ac3) < 4:
                             continue
                         # D-stem: 4 bp after acceptor+spacer, closing at q
-                        d_stem = _n_pairs(seq[start + 9 : start + 13], seq[q - 4 : q])
-                        if d_stem < 3:
+                        if _n_pairs(seq[start + 9 : start + 13], seq[q - 4 : q]) < 3:
                             continue
-                        score = t_stem + acc + ac + d_stem
+                        raw = (
+                            t_pts
+                            + acc_pts
+                            + _pair_points(ac5, ac3)
+                            + _pair_points(seq[start + 9 : start + 13], seq[q - 4 : q])
+                        )
+                        # conserved-base bonuses: the anchored T-loop
+                        # T54-Psi55-C56 (+3), U33 before the anticodon
+                        # (+2), purine 37 after it (+1)
+                        raw += 3.0
+                        if seq[q + 6 : q + 7] == "T":
+                            raw += 2.0
+                        if seq[q + 10 : q + 11] in ("A", "G"):
+                            raw += 1.0
+                        score = _SCALE * raw
                         if score >= min_score:
                             anticodon = seq[q + 7 : q + 10]
                             aa = _anticodon_to_aa(anticodon)
@@ -102,7 +137,7 @@ def _scan_strand(seq: str, min_score: int = MIN_PAIR_SCORE):
         m = seq.find("TTC", m + 1)
 
 
-def find_trnas(seq: str, min_score: int = MIN_PAIR_SCORE) -> list[tuple[int, int, str]]:
+def find_trnas(seq: str, min_score: float = DEFAULT_THRESHOLD) -> list[tuple[int, int, str]]:
     """Detected tRNAs as (start, end, aa) with 1-based inclusive forward
     coordinates, overlaps resolved by score."""
     seq = seq.upper()
@@ -131,11 +166,13 @@ class Aragorn:
     def __init__(self, input_file: Path, aragorn_output: Path, score_threshold: float = 1.05):
         self.input_file = Path(input_file)
         self.aragorn_output = Path(aragorn_output)
-        # ARAGORN's -psN relaxes/tightens the acceptance cutoff relative to
-        # its default (N=100); the analog here scales the stem-pairing
-        # minimum: 1.05 (the reference's -ps105) maps to MIN_PAIR_SCORE.
+        # ARAGORN's -psN sets the acceptance cutoff to N% of its default
+        # threshold (100 points); the reference's score_threshold 1.05
+        # (`-ps105`, genomad/aragorn.py:13-17) therefore accepts at 105
+        # points on the composite score scale — the actual -ps semantics,
+        # not a rescaled pair count.
         self.score_threshold = score_threshold
-        self.min_score = max(1, round(MIN_PAIR_SCORE * score_threshold / 1.05))
+        self.min_score = 100.0 * score_threshold
 
     def run_parallel_aragorn(self, threads: int | None = None) -> None:
         if self.aragorn_output.is_file():

@@ -31,6 +31,41 @@ def make_mesh(n_data: int | None = None, n_db: int = 1, devices=None) -> Mesh:
     return Mesh(devices, axis_names=("data", "db"))
 
 
+def balanced_factorization(n_devices: int) -> tuple[int, int]:
+    """(n_data, n_db) for a production mesh: the largest power-of-two db
+    axis not exceeding sqrt(2 * n_devices), remainder on data. db sharding
+    bounds per-device DB memory; data carries query-batch parallelism —
+    pair batches shard over BOTH axes (ops.protein_search), so any split
+    balances compute and the choice only trades HBM footprint against
+    per-shard staging overhead. 8 devices -> (2, 4); 4 -> (2, 2);
+    2 -> (1, 2); 1 -> (1, 1)."""
+    n_db = 1
+    while n_db * 2 <= n_devices and (n_db * 2) ** 2 <= 2 * n_devices:
+        n_db *= 2
+    while n_devices % n_db:
+        n_db //= 2
+    return n_devices // n_db, n_db
+
+
+def initialize_distributed() -> bool:
+    """Multi-host entry point: call ``jax.distributed.initialize()`` when a
+    coordinator is configured in the environment, making ``jax.devices()``
+    global across hosts so the (data, db) mesh spans the pod — db shards
+    ride ICI within a slice, the data axis crosses hosts over DCN
+    (SURVEY §2.5). A no-op on a single host. Returns True when
+    distributed mode was initialized."""
+    import os
+
+    if not (
+        os.environ.get("GENOMAD_TPU_MULTIHOST")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    ):
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the 'data' mesh axis."""
     return NamedSharding(mesh, P("data"))
