@@ -221,28 +221,27 @@ bool stats_enabled() {
 // --- per-worker scratch (reused across queries) ----------------------------
 
 struct Scratch {
-    // per-profile stamp tables (see file comment, step 2). ``last_*`` detect
-    // the second hit on a diagonal; ``cand_*`` deduplicate candidate pushes
-    // (only the FIRST double hit of a (profile, diagonal) pushes — without
-    // this, a true homologous diagonal with a run of n matches pushes n-1
-    // duplicates and the candidate sort dominates the whole prefilter).
-    std::vector<int32_t> last_epoch;
-    std::vector<uint32_t> last_diag;
-    std::vector<uint32_t> last_qpos;
-    std::vector<int32_t> cand_epoch;
-    std::vector<uint32_t> cand_diag;
-    int32_t epoch = 0;
+    // per-profile stamp tables (see file comment, step 2), PACKED so each
+    // hit costs one cache access per table instead of 2-3:
+    //   last[p] = epoch(22b) << 37 | udiag(21b) << 16 | qpos(16b)
+    //     — detects the second hit on a diagonal within PAIR_DIST;
+    //   cand_mark[p] = epoch(22b) << 21 | udiag(21b)
+    //     — deduplicates candidate pushes (only the FIRST double hit of a
+    //       (profile, diagonal) pushes; without this a true homologous
+    //       diagonal with a run of n matches pushes n-1 duplicates and
+    //       the candidate sort dominates the whole prefilter).
+    std::vector<uint64_t> last;
+    std::vector<uint64_t> cand_mark;
+    uint64_t epoch = 0;
     // candidate key (profile << DIAG_BITS | udiag) + first-double-hit qpos
     std::vector<std::pair<uint64_t, uint32_t>> cand;
     std::vector<std::pair<float, int32_t>> selected;  // (score, profile)
 
     void ensure(int64_t n_profiles) {
-        if (static_cast<int64_t>(last_epoch.size()) < n_profiles) {
-            last_epoch.assign(n_profiles, 0);
-            last_diag.assign(n_profiles, 0);
-            last_qpos.assign(n_profiles, 0);
-            cand_epoch.assign(n_profiles, 0);
-            cand_diag.assign(n_profiles, 0);
+        if (static_cast<int64_t>(last.size()) < n_profiles ||
+            epoch >= (1u << 22) - 2) {
+            last.assign(n_profiles, 0);
+            cand_mark.assign(n_profiles, 0);
             epoch = 0;
         }
     }
@@ -287,12 +286,9 @@ static int64_t prefilter_query_impl(
     const bool expand = tables != nullptr;
     const bool stats = stats_enabled();
     scratch.ensure(n_profiles);
-    const int32_t epoch = ++scratch.epoch;
-    int32_t* last_epoch = scratch.last_epoch.data();
-    uint32_t* last_diag = scratch.last_diag.data();
-    uint32_t* last_qpos = scratch.last_qpos.data();
-    int32_t* cand_epoch = scratch.cand_epoch.data();
-    uint32_t* cand_diag = scratch.cand_diag.data();
+    const uint64_t epoch = ++scratch.epoch;
+    uint64_t* last = scratch.last.data();
+    uint64_t* cand_mark = scratch.cand_mark.data();
     auto& cand = scratch.cand;
     cand.clear();
     int64_t n_hits = 0, n_exp_codes = 0;
@@ -308,21 +304,22 @@ static int64_t prefilter_query_impl(
             const int32_t p = entry_profiles[i];
             const uint32_t udiag = static_cast<uint32_t>(
                 entry_positions[i] - static_cast<int32_t>(q) + DIAG_OFF);
-            if (last_epoch[p] == epoch && last_diag[p] == udiag &&
-                q - last_qpos[p] <= PAIR_DIST) {
+            const uint64_t key_hi = (epoch << 37) |
+                                    (static_cast<uint64_t>(udiag) << 16);
+            const uint64_t prev = last[p];
+            if ((prev >> 16) == (key_hi >> 16) &&
+                static_cast<uint64_t>(q) - (prev & 0xFFFF) <= PAIR_DIST) {
                 // second match on this diagonal within PAIR_DIST; push
                 // once per (p, diag)
-                if (!(cand_epoch[p] == epoch && cand_diag[p] == udiag)) {
-                    cand_epoch[p] = epoch;
-                    cand_diag[p] = udiag;
+                const uint64_t mark = (epoch << DIAG_BITS) | udiag;
+                if (cand_mark[p] != mark) {
+                    cand_mark[p] = mark;
                     cand.emplace_back(
                         (static_cast<uint64_t>(p) << DIAG_BITS) | udiag,
                         static_cast<uint32_t>(q));
                 }
             } else {
-                last_epoch[p] = epoch;
-                last_diag[p] = udiag;
-                last_qpos[p] = static_cast<uint32_t>(q);
+                last[p] = key_hi | static_cast<uint64_t>(q & 0xFFFF);
                 if (!expand)
                     cand.emplace_back(
                         (static_cast<uint64_t>(p) << DIAG_BITS) | udiag,
