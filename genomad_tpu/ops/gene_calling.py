@@ -597,9 +597,13 @@ class GeneFinder:
         ranked = sorted(self.pretrained, key=lambda ti: abs(ti.gc - gc))
         candidates = ranked[: self.meta_candidates]
         if self.try_alt_codes:
+            # membership by identity: TrainingInfo's dataclass __eq__
+            # tuple-compares ndarray fields, which raises on ambiguous
+            # truth values when the leading scalar fields coincide
+            chosen = {id(ti) for ti in candidates}
             candidates += [
                 ti for ti in self.pretrained
-                if ti.translation_table != 11 and ti not in candidates
+                if ti.translation_table != 11 and id(ti) not in chosen
             ]
         else:
             candidates = [

@@ -206,19 +206,26 @@ _BASE_IDX = {65: 0, 67: 1, 71: 2, 84: 3}  # A C G T
 def upstream_score(ti: TrainingInfo, upstream: str) -> float:
     """Upstream-composition score: Prodigal's uscore.
 
-    Prodigal scores the 45..1 bp upstream window at selected offsets
-    (skipping the RBS region proper) against per-position base
-    compositions (ups_comp[32][4]). Row i covers upstream offset i+1
-    within the first 32 positions 5' of the start; absent positions score
-    0. Scaled by 0.4 * start_weight as in Prodigal's node scoring.
+    Prodigal scores upstream offsets 1-2 and 15-44 (5' of the start,
+    1-indexed) against per-position base compositions — the RBS region
+    proper (offsets 3-14) is skipped, which is why ups_comp has exactly
+    2 + 30 = 32 rows: row 0 -> offset 1, row 1 -> offset 2, rows 2..31 ->
+    offsets 15..44 (Prodigal node.c score_upstream_composition). Absent
+    positions score 0. Scaled by 0.4 * start_weight as in Prodigal's node
+    scoring.
     """
     total = 0.0
     n = len(upstream)
     comp = ti.upstream_compositions
-    for i in range(min(32, n)):
-        base = _BASE_IDX.get(ord(upstream[n - 1 - i]), None)
-        if base is not None:
-            total += comp[i][base]
+    row = 0
+    for i in range(1, 45):
+        if 2 < i < 15:
+            continue
+        if i <= n:
+            base = _BASE_IDX.get(ord(upstream[n - i]), None)
+            if base is not None:
+                total += comp[row][base]
+        row += 1
     return 0.4 * ti.start_weight * total
 
 

@@ -86,6 +86,30 @@ class ProfileDB:
     def profile(self, i: int) -> np.ndarray:
         return self.pssm[self.offsets[i] : self.offsets[i + 1]]
 
+    @property
+    def pssm_i8(self) -> np.ndarray | None:
+        """int8 copy of the PSSM when every score is integral and within
+        [-127, 127]; None otherwise. Real MMseqs2/geNomad profile scores
+        are small integers (the source format stores them as such), so
+        production databases always qualify — the int8 copy drives the
+        native prefilter's cache-compact diagonal scoring and gates bf16
+        device staging (both are EXACT for integral values). Synthetic
+        float test databases return None and keep full-f32 paths."""
+        cached = self.__dict__.get("_pssm_i8_cache", False)
+        if cached is not False:
+            return cached
+        p = self.pssm
+        ok = (
+            p.size == 0
+            or (
+                np.all(np.abs(p) <= 127.0)
+                and np.array_equal(p, np.trunc(p))
+            )
+        )
+        result = p.astype(np.int8) if ok else None
+        self.__dict__["_pssm_i8_cache"] = result
+        return result
+
     # -- persistence --------------------------------------------------------
 
     def save(self, path: Path) -> None:

@@ -468,7 +468,14 @@ _BOUNDS = (128, 256, 512, 1024, 4096, 32768)
 
 
 def _bucket_bound(lengths):
-    return np.searchsorted(np.asarray(_BOUNDS), lengths, side="left")
+    b = np.searchsorted(np.asarray(_BOUNDS), lengths, side="left")
+    if np.any(b >= len(_BOUNDS)):
+        too_long = int(np.max(np.asarray(lengths)))
+        raise ValueError(
+            f"sequence/profile length {too_long} exceeds the maximum "
+            f"supported operand length {_BOUNDS[-1]}"
+        )
+    return b
 
 
 def _pow2(n: int, floor: int = 128) -> int:
@@ -481,6 +488,25 @@ def _count_pad(n: int) -> int:
     ~50% of staged HBM; multiples of 4096 keep the compiled-shape set just
     as stable for a given database while bounding waste to <5%."""
     return _pow2(n) if n <= 4096 else -(-n // 4096) * 4096
+
+
+def _staging_dtype(db):
+    """Device staging dtype for profile tensors: bf16 only for LARGE
+    databases whose scores bf16 represents exactly (integral, |v| <= 127
+    — db.pssm_i8 is not None); otherwise f32 so float PSSMs are never
+    silently quantized (gating on profile count alone previously let a
+    large float-scored DB lose mantissa bits and flip threshold-edge
+    accept decisions vs the f32 host reference)."""
+    if db.n_profiles > 4096 and db.pssm_i8 is not None:
+        return jnp.bfloat16
+    if db.n_profiles > 4096:
+        import warnings
+
+        warnings.warn(
+            "large profile DB has non-integral PSSM scores: staging in "
+            "f32 (exact) — expect ~4x the HBM of an integral-score DB"
+        )
+    return np.float32
 
 
 @dataclass
@@ -508,6 +534,7 @@ def search(
     db_positions: int | None = None,
     max_seqs: int = 10_000_000,
     max_rejected: int = 280,
+    _details: bool = False,
 ) -> dict:
     """Full search: prefilter -> batched SW -> coverage filter -> best hit.
 
@@ -639,12 +666,13 @@ def search(
         this is the device-resident replacement for MMseqs2's target-DB
         memory-mapping (genomad/mmseqs2.py:83-95).
 
-        Large databases stage in bfloat16: real geNomad/MMseqs2 profile
-        scores are small integers (int8 in the source format), which bf16
-        represents exactly, and f32 staging of a 227k-profile DB would
-        need ~9 GB of HBM + minutes of host->device transfer. Small
-        (test/integrase-scale) DBs keep f32 so synthetic float PSSMs match
-        the host reference bit-for-bit."""
+        Large databases stage in bfloat16 ONLY when the PSSM is integral
+        (db.pssm_i8 is not None): real geNomad/MMseqs2 profile scores are
+        small integers, which bf16 represents exactly, and f32 staging of
+        a 227k-profile DB would need ~9 GB of HBM + minutes of
+        host->device transfer. Small DBs — and any DB with non-integral
+        float scores, which bf16 would silently quantize to an 8-bit
+        mantissa and flip threshold-edge gate decisions — keep f32."""
         cache = db.__dict__.setdefault("_device_buckets", {})
         if pb_i not in cache:
             Lp = _BOUNDS[pb_i]
@@ -652,7 +680,7 @@ def search(
             lens = db.lengths[ids].astype(np.int64)
             rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
             mask = np.arange(Lp)[None, :] < lens[:, None]
-            dtype = np.float32 if db.n_profiles <= 4096 else jnp.bfloat16
+            dtype = _staging_dtype(db)
             arr = np.zeros((_count_pad(len(ids)), Lp, N_AA + 1), dtype)
             arr[: len(ids), :, :N_AA] = np.where(
                 mask[:, :, None], db.pssm[np.minimum(rows, db.offsets[-1] - 1)], 0.0
@@ -674,7 +702,7 @@ def search(
             ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
             per_shard = -(-len(ids) // n_db)
             p_loc = _pow2(per_shard, floor=8) if per_shard <= 4096 else _count_pad(per_shard)
-            dtype = np.float32 if db.n_profiles <= 4096 else jnp.bfloat16
+            dtype = _staging_dtype(db)
             arr = np.zeros((n_db * p_loc, Lp, N_AA + 1), dtype)
             lens = db.lengths[ids].astype(np.int64)
             rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
@@ -833,12 +861,15 @@ def search(
             continue
         raw = float(best_score[qi])
         gid = int(best_gid[qi])
-        out[query_names[qi]] = (
+        row = (
             str(db.names[gid]),
             float(evalue(raw, q_lengths[qi], db_positions, lam, kk)),
             int(round(float(bitscore(raw, lam, kk)))),
             int(db.taxids[gid]) if db.taxids[gid] > 0 else 1,
         )
+        # _details appends (raw f32 score, profile id) — the in-batch
+        # selection key — so shard merges can use the identical key
+        out[query_names[qi]] = row + (raw, gid) if _details else row
     return out
 
 
@@ -1087,21 +1118,26 @@ def _pair_stats_sharded(
 
 def search_sharded(query_names, query_seqs, db: ProfileDB, n_shards: int, **kwargs) -> dict:
     """DB-sharded search: run each shard independently and merge best hits
-    by (bitscore, -profile name) — deterministic and shard-count-invariant.
+    on (raw f32 score desc, global profile id asc) — the SAME key as
+    ``search``'s in-batch best-hit selection, so the result is identical
+    to a single-shard search at any shard count (an integer-bitscore merge
+    key previously allowed two raw scores that round to the same bitscore
+    to pick different winners across the two paths).
 
     On a pod this maps shards onto the 'db' mesh axis; the merge is an
     allreduce-argmax over shards. The host-loop version here exercises the
     identical merge semantics.
     """
-    merged: dict[str, tuple] = {}
+    merged: dict[str, tuple] = {}  # q -> (raw, global gid, 4-tuple result)
     kwargs.setdefault("db_positions", max(db.total_positions, 1))
     for shard_i in range(n_shards):
         shard = db.shard(n_shards, shard_i)
-        hits = search(query_names, query_seqs, shard, **kwargs)
-        for q, (target, ev, bits, taxid) in hits.items():
+        hits = search(query_names, query_seqs, shard, _details=True, **kwargs)
+        for q, (target, ev, bits, taxid, raw, gid) in hits.items():
+            # shards are strided (profiledb.ProfileDB.shard): local id ->
+            # global id recovers search()'s exact tie-break ordering
+            g_gid = shard_i + n_shards * gid
             cur = merged.get(q)
-            # higher bitscore wins; ties break on lexicographically smaller
-            # target name (deterministic, shard-count-invariant)
-            if cur is None or bits > cur[2] or (bits == cur[2] and target < cur[0]):
-                merged[q] = (target, ev, bits, taxid)
-    return merged
+            if cur is None or raw > cur[0] or (raw == cur[0] and g_gid < cur[1]):
+                merged[q] = (raw, g_gid, (target, ev, bits, taxid))
+    return {q: v[2] for q, v in merged.items()}

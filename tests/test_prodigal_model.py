@@ -62,6 +62,32 @@ def test_shine_dalgarno_bins():
     assert pm.shine_dalgarno_bin("CCCCCCCCCCCC") == 0
 
 
+def test_upstream_score_offset_mapping():
+    """ups_comp rows map to upstream offsets 1-2 and 15-44 — the RBS region
+    proper (offsets 3-14) is never scored, which is why the table has
+    exactly 32 rows (Prodigal node.c score_upstream_composition)."""
+    ti = pm.TrainingInfo(gc=0.5, translation_table=11)
+    comp = np.zeros((32, 4))
+    ti.upstream_compositions = comp
+    ti.start_weight = 2.5  # 0.4 * start_weight == 1.0 -> raw table sums
+    up = "A" * 45  # every scored offset sees base A (index 0)
+
+    comp[0][0] = 1.0  # row 0 -> offset 1 (base immediately 5' of the start)
+    assert pm.upstream_score(ti, up) == pytest.approx(1.0)
+    assert pm.upstream_score(ti, "A") == pytest.approx(1.0)
+
+    comp[:] = 0.0
+    comp[2][0] = 1.0  # row 2 -> offset 15, NOT offset 3
+    assert pm.upstream_score(ti, up) == pytest.approx(1.0)
+    # a 14-base window covers only offsets 1-14: rows 2+ never score
+    assert pm.upstream_score(ti, "A" * 14) == 0.0
+
+    comp[:] = 0.0
+    comp[31][0] = 1.0  # last row -> offset 44
+    assert pm.upstream_score(ti, "A" * 44) == pytest.approx(1.0)
+    assert pm.upstream_score(ti, "A" * 43) == 0.0
+
+
 def _hexamer_table_for(proteins: list[str]) -> np.ndarray:
     """A gene_dc table that rewards exactly the given proteins' codons."""
     from tests.test_gene_calling import reverse_translate

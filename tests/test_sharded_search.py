@@ -114,6 +114,41 @@ def test_gate_threshold_edge_consistency():
                 assert host[q][2] == shard[q][2], f"thr={thr!r} {q}"
 
 
+def test_shard_merge_raw_score_tiebreak():
+    """Two raw scores that round to the SAME integer bitscore must pick the
+    same winner in search_sharded as in search: the merge key is the raw
+    f32 score + global profile id (search's in-batch selection key), not
+    the rounded bitscore + name."""
+    from genomad_tpu.ops import protein_search
+    from genomad_tpu.ops.profiledb import ALPHABET
+
+    L = 40
+    res = np.arange(L) % 20
+    strong = np.full((L, N_AA), -5.0, np.float32)
+    strong[np.arange(L), res] = 2.0  # raw 80.0
+    weak = np.full((L, N_AA), -5.0, np.float32)
+    weak[np.arange(L), res] = 2.0
+    weak[0, res[0]] = 1.8  # raw 79.8 — rounds to the same int bitscore as 80
+    # the stronger profile's name sorts LARGER, so a bitscore+name merge
+    # would pick the weak profile; ids put them on different shards
+    db = ProfileDB.from_profiles(["b_strong", "a_weak"], [strong, weak])
+    names, seqs = ["q"], ["".join(ALPHABET[r] for r in res)]
+
+    full = protein_search.search(names, seqs, db)
+    assert full["q"][0] == "b_strong"
+    # sanity: the rounding edge is real — both profiles alone give the
+    # same integer bitscore
+    lone_weak = protein_search.search(
+        names, seqs, db.shard(2, 1), db_positions=db.total_positions
+    )
+    assert full["q"][2] == lone_weak["q"][2]
+
+    sharded = protein_search.search_sharded(names, seqs, db, n_shards=2)
+    assert sharded["q"][0] == full["q"][0]
+    assert sharded["q"][2:] == full["q"][2:]
+    np.testing.assert_allclose(sharded["q"][1], full["q"][1], rtol=1e-5)
+
+
 def test_production_search_sharded_matches_host_loop():
     """The legacy host shard loop (search_sharded) and the device-sharded
     path implement the same merge semantics."""
