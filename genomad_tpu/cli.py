@@ -312,12 +312,36 @@ def run_end_to_end(
     )
 
     filters = {**_FILTER_DEFAULTS, **filters}
-    annotate_mod.main(
-        input, output, database, restart=restart, threads=threads,
-        verbose=verbose, lenient_taxonomy=lenient_taxonomy,
-        full_ictv_lineage=full_ictv_lineage, sensitivity=sensitivity,
-        splits=splits, cleanup=cleanup, mesh=mesh,
-    )
+
+    def _annotate():
+        annotate_mod.main(
+            input, output, database, restart=restart, threads=threads,
+            verbose=verbose, lenient_taxonomy=lenient_taxonomy,
+            full_ictv_lineage=full_ictv_lineage, sensitivity=sensitivity,
+            splits=splits, cleanup=cleanup, mesh=mesh,
+        )
+
+    if disable_nn_classification:
+        _annotate()
+    else:
+        # TPU-first stage overlap: the NN contig pass is device-bound while
+        # annotate's marker search is host-prefilter-bound — the two are
+        # independent until aggregation, so they run CONCURRENTLY instead
+        # of the reference's sequential chain (docs/performance.md). The
+        # NN provirus second pass needs find-proviruses output; a second
+        # nn-classification call below reuses the cached contig results
+        # (skip/resume machinery) and runs only that pass.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(_annotate)
+            nn_mod.main(
+                input, output, single_window=single_window,
+                batch_size=batch_size, restart=restart, threads=threads,
+                verbose=verbose, cleanup=False, mesh=mesh,
+                skip_proviruses=True,
+            )
+            fut.result()
     if not disable_find_proviruses:
         fp_mod.main(
             input, output, database, cleanup=cleanup, restart=restart,
@@ -329,9 +353,11 @@ def run_end_to_end(
         )
     marker_mod.main(input, output, database, restart=restart, threads=threads, verbose=verbose)
     if not disable_nn_classification:
+        # second pass: contig classification is cached from the overlapped
+        # run; only the provirus windows (post find-proviruses) compute here
         nn_mod.main(
             input, output, single_window=single_window, batch_size=batch_size,
-            restart=restart, threads=threads, verbose=verbose,
+            restart=False, threads=threads, verbose=verbose,
             cleanup=cleanup, mesh=mesh,
         )
         agg_mod.main(input, output, restart=restart, verbose=verbose)

@@ -89,7 +89,14 @@ def main(
     verbose=True,
     cleanup=False,
     mesh=None,
+    skip_proviruses=False,
 ):
+    """``skip_proviruses``: classify contig windows only — used by the
+    end-to-end stage overlap (cli.run_end_to_end), where this module runs
+    CONCURRENTLY with annotate and must not read find-proviruses outputs
+    that a later module invocation will (re)write. With ``restart`` it
+    also deletes stale provirus score files so the post-find-proviruses
+    second call recomputes them from the fresh provirus FASTA."""
     input_path, output_path = Path(input_path), Path(output_path)
     output_path.mkdir(exist_ok=True)
     prefix = utils.output_prefix(input_path)
@@ -97,7 +104,16 @@ def main(
     console = utils.Console(outputs.nn_classification_log, verbose)
     parameter_dict = {"single_window": single_window}
 
-    classify_proviruses = utils.check_provirus_execution(prefix, input_path, output_path)
+    classify_proviruses = not skip_proviruses and utils.check_provirus_execution(
+        prefix, input_path, output_path
+    )
+    if skip_proviruses and restart:
+        for stale in (
+            outputs.provirus_nn_classification_npz_output,
+            outputs.provirus_nn_classification_output,
+        ):
+            if stale.exists():
+                stale.unlink()
 
     output_files = [
         outputs.nn_classification_execution_info,

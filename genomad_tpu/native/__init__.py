@@ -60,6 +60,7 @@ def get_library():
         ctypes.POINTER(ctypes.c_int64),   # residue_offsets
         ctypes.c_int64,                   # n_queries
         ctypes.POINTER(ctypes.c_float),   # pssm
+        ctypes.POINTER(ctypes.c_int8),    # pssm8 (NULL = f32 scan)
         ctypes.POINTER(ctypes.c_int64),   # offsets
         ctypes.POINTER(ctypes.c_int32),   # lengths
         ctypes.c_float,                   # min_ungapped_score
@@ -82,6 +83,7 @@ def get_library():
         ctypes.POINTER(ctypes.c_int8),    # residues
         ctypes.c_int64,                   # query_length
         ctypes.POINTER(ctypes.c_float),   # pssm
+        ctypes.POINTER(ctypes.c_int8),    # pssm8 (NULL = f32 scan)
         ctypes.POINTER(ctypes.c_int64),   # offsets
         ctypes.POINTER(ctypes.c_int32),   # lengths
         ctypes.c_float,                   # min_ungapped_score
@@ -155,6 +157,7 @@ def native_prefilter_batch(
         _ptr(residue_offsets, ctypes.c_int64),
         n_queries,
         _ptr(pssm, ctypes.c_float),
+        _pssm8_arg(db),
         _ptr(offsets, ctypes.c_int64),
         _ptr(lengths, ctypes.c_int32),
         float(min_ungapped_score),
@@ -170,6 +173,17 @@ def native_prefilter_batch(
     ids = [out[q, : written[q]].copy() for q in range(n_queries)]
     scores = [out_scores[q, : written[q]].copy() for q in range(n_queries)]
     return ids, scores, dropped
+
+
+def _pssm8_arg(db):
+    """int8-PSSM ctypes arg: the cached integral int8 copy when the DB's
+    scores are integral (db.pssm_i8 — real profile scores always are),
+    else NULL (C side falls back to the f32 scan). The int8 scan is
+    bit-equal for integral values at 4x less memory traffic."""
+    p8 = db.pssm_i8
+    if p8 is None:
+        return ctypes.POINTER(ctypes.c_int8)()
+    return _ptr(p8, ctypes.c_int8)
 
 
 def _subst_args(kmer_thr: float | None):
@@ -219,6 +233,7 @@ def native_prefilter_query(
         _ptr(residues, ctypes.c_int8),
         len(residues),
         _ptr(pssm, ctypes.c_float),
+        _pssm8_arg(db),
         _ptr(offsets, ctypes.c_int64),
         _ptr(lengths, ctypes.c_int32),
         float(min_ungapped_score),

@@ -31,12 +31,27 @@
 //      diagonalPrev). Exact-k-mer mode (no expansion) needs one hit per
 //      diagonal, so every first hit is a candidate and no approximation
 //      arises;
-//   3. candidates (a few thousand per query) are sorted and deduplicated;
-//   4. qualifying diagonals run Kadane's maximal-subarray scan over the
-//      PSSM scores; profiles whose best diagonal reaches
-//      min_ungapped_score are emitted SORTED BY SCORE DESCENDING (id
-//      ascending on ties) — the prefilter result order MMseqs2 feeds its
-//      aligner, which stage 2 relies on for --max-rejected semantics.
+//   3. candidates are ordered by profile id with a cheap 2-pass LSD radix
+//      (a comparison sort of ~10^5 double-hit diagonals cost more than
+//      the scan itself; the radix is ~2 ms and turns the scan into an
+//      ascending-address sweep of the PSSM — DRAM row-buffer and
+//      hardware-prefetcher friendly, measured +35% over insertion-order
+//      scanning), then stream through Kadane's maximal-subarray scan
+//      with a deep lookahead prefetch. Per-profile best scores live in
+//      an epoch-stamped (epoch << 32 | f32 bits) table: non-negative f32
+//      scores compare correctly as uint32, so one 8-byte slot per
+//      profile carries both the stamp and the running best. When the
+//      database's PSSM is integral (real MMseqs2/geNomad profile scores
+//      are small integers) the scan reads an int8 copy of the PSSM —
+//      20 B per position instead of 80 B, i.e. 4x less random DRAM
+//      traffic — with int32 accumulation, which is EXACT (bit-equal to
+//      the f32 scan) for integral scores, 16 residues per AVX-512
+//      gather (memory-level parallelism a scalar byte loop cannot
+//      express on a latency-bound access pattern).
+//   4. profiles whose best diagonal reaches min_ungapped_score are
+//      emitted SORTED BY SCORE DESCENDING (id ascending on ties) — the
+//      prefilter result order MMseqs2 feeds its aligner, which stage 2
+//      relies on for --max-rejected semantics.
 //
 // Plain C ABI for ctypes; no Python headers required.
 
@@ -53,6 +68,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int K = 5;
@@ -61,11 +80,36 @@ constexpr int N2 = NAA * NAA;            // 400
 constexpr int N3 = NAA * NAA * NAA;      // 8000
 constexpr uint32_t DIAG_BITS = 21;       // diag + offset fits in 21 bits
 constexpr uint32_t DIAG_OFF = 1u << 20;  // supports |diag| < 2^20
-// Max query distance between the two k-mer matches of a double hit: pairs
-// further apart than the scoring window could not both contribute to the
-// windowed ungapped score anyway, and dropping them removes the bulk of
-// the background double-hit noise at production DB scale.
-constexpr uint32_t PAIR_DIST = 32;
+
+// Runtime-tunable approximation knobs (read once per process). Both are
+// approximations MMseqs2's exact double-match criterion does not make;
+// tools/prefilter_recall.py measures their candidate-recall cost and
+// PARITY.md records it. Set the env var to 0 to disable the cap.
+//   GENOMAD_PREFILTER_PAIR_DIST (default 32): max query distance between
+//     the two k-mer matches of a double hit — pairs further apart than
+//     the scoring window could not both contribute to the windowed
+//     ungapped score anyway, and dropping them removes the bulk of the
+//     background double-hit noise at production DB scale.
+//   GENOMAD_PREFILTER_WINDOW (default 16): extension half-window around
+//     the first double hit (see step 3 comment at the scan below).
+struct Config {
+    uint32_t pair_dist;
+    int64_t window;
+};
+// Parsed per call (a few ns) so tools/prefilter_recall.py can toggle the
+// knobs between calls within one process.
+Config config() {
+    Config c{32, 16};
+    if (const char* v = std::getenv("GENOMAD_PREFILTER_PAIR_DIST")) {
+        long x = std::atol(v);
+        c.pair_dist = x <= 0 ? 0xFFFFFFFFu : static_cast<uint32_t>(x);
+    }
+    if (const char* v = std::getenv("GENOMAD_PREFILTER_WINDOW")) {
+        long x = std::atol(v);
+        c.window = x <= 0 ? (1ll << 40) : x;
+    }
+    return c;
+}
 
 // --- similar-k-mer product tables (one instance per threshold) -------------
 
@@ -206,8 +250,8 @@ struct Stats {
     std::atomic<int64_t> codes{0};
     std::atomic<int64_t> cands{0};
     std::atomic<int64_t> enum_ns{0};
-    std::atomic<int64_t> sort_ns{0};
-    std::atomic<int64_t> kadane_ns{0};
+    std::atomic<int64_t> scan_ns{0};
+    std::atomic<int64_t> emit_ns{0};
 };
 Stats g_stats;
 bool stats_enabled() {
@@ -218,30 +262,52 @@ bool stats_enabled() {
     return on;
 }
 
+inline uint32_t f32_bits(float f) {
+    uint32_t u;
+    std::memcpy(&u, &f, 4);
+    return u;
+}
+inline float bits_f32(uint32_t u) {
+    float f;
+    std::memcpy(&f, &u, 4);
+    return f;
+}
+
 // --- per-worker scratch (reused across queries) ----------------------------
 
 struct Scratch {
-    // per-profile stamp tables (see file comment, step 2), PACKED so each
-    // hit costs one cache access per table instead of 2-3:
+    // per-profile stamp tables, PACKED so each hit costs one cache access
+    // per table instead of 2-3:
     //   last[p] = epoch(22b) << 37 | udiag(21b) << 16 | qpos(16b)
-    //     — detects the second hit on a diagonal within PAIR_DIST;
+    //     — detects the second hit on a diagonal within pair_dist;
     //   cand_mark[p] = epoch(22b) << 21 | udiag(21b)
     //     — deduplicates candidate pushes (only the FIRST double hit of a
     //       (profile, diagonal) pushes; without this a true homologous
-    //       diagonal with a run of n matches pushes n-1 duplicates and
-    //       the candidate sort dominates the whole prefilter).
+    //       diagonal with a run of n matches pushes n-1 duplicates);
+    //   best[p] = epoch(32b) << 32 | f32 bits of the best diagonal score
+    //     — Kadane scores are >= 0, whose f32 bit patterns order
+    //       correctly as uint32, so stamp + running max share one slot.
     std::vector<uint64_t> last;
     std::vector<uint64_t> cand_mark;
+    std::vector<uint64_t> best;
     uint64_t epoch = 0;
     // candidate key (profile << DIAG_BITS | udiag) + first-double-hit qpos
     std::vector<std::pair<uint64_t, uint32_t>> cand;
+    std::vector<int32_t> sel_ids;  // profiles past min_ungapped_score
+    std::vector<std::pair<uint64_t, uint32_t>> cand_tmp;  // radix scratch
     std::vector<std::pair<float, int32_t>> selected;  // (score, profile)
+    // per-query gather operands for the SIMD scan (int8 path):
+    //   qidx[t] = t*20 + residue  (the within-diagonal byte offset)
+    //   qvalid[t] = -1 for a scoring residue, 0 for unknown (score 0)
+    std::vector<int32_t> qidx;
+    std::vector<int32_t> qvalid;
 
     void ensure(int64_t n_profiles) {
         if (static_cast<int64_t>(last.size()) < n_profiles ||
             epoch >= (1u << 22) - 2) {
             last.assign(n_profiles, 0);
             cand_mark.assign(n_profiles, 0);
+            best.assign(n_profiles, 0);
             epoch = 0;
         }
     }
@@ -259,6 +325,10 @@ extern "C" {
 //   query_codes: Lq-k+1 k-mer codes (-1 = invalid)
 //   residues: Lq int8 residue indices (20 = unknown)
 //   pssm: flat (total_positions, 20) float32
+//   pssm8: flat (total_positions, 20) int8 copy of pssm, or nullptr.
+//     Passed only when the PSSM is integral in [-127, 127] (the caller
+//     checks); the scan then runs on int8 rows with int32 accumulation —
+//     bit-equal scores at 4x less memory traffic.
 //   offsets: (P+1) int64 row offsets into pssm
 //   subst/kmer_thr: 20x20 substitution matrix + similar-k-mer score
 //     threshold for query-side k-mer expansion (MMseqs2 ``-s`` semantics);
@@ -275,6 +345,7 @@ static int64_t prefilter_query_impl(
     const int8_t* residues,
     int64_t query_length,
     const float* pssm,
+    const int8_t* pssm8,
     const int64_t* offsets,
     const int32_t* lengths,
     float min_ungapped_score,
@@ -285,6 +356,7 @@ static int64_t prefilter_query_impl(
     Scratch& scratch) {
     const bool expand = tables != nullptr;
     const bool stats = stats_enabled();
+    const uint32_t pair_dist = config().pair_dist;
     scratch.ensure(n_profiles);
     const uint64_t epoch = ++scratch.epoch;
     uint64_t* last = scratch.last.data();
@@ -296,11 +368,18 @@ static int64_t prefilter_query_impl(
     // 1-2. expansion + index lookups -> O(1) stamp-table hit processing.
     // Expansion mode: a candidate needs two hits on the same (profile,
     // diagonal); exact mode: every first hit is a candidate.
-    auto push_hits = [&](int64_t code, int64_t q) {
-        const int32_t b = code_table[code], e = code_table[code + 1];
-        n_hits += e - b;
-        ++n_exp_codes;
+    // Two-stage software pipeline over expanded codes: looking up a code's
+    // entry range touches a random code_table line AND a random entry-list
+    // region; processing the PREVIOUS code's entries while the current
+    // code's lists stream in overlaps those misses (per-code ranges
+    // average only ~7 entries at production scale, too short for the
+    // in-range prefetch below to cover the range's own first touch).
+    auto process_range = [&](int32_t b, int32_t e, int64_t q) {
         for (int32_t i = b; i < e; ++i) {
+            // the stamp-table access below is the loop's only random
+            // memory reference — overlap its L2/DRAM latency with the
+            // processing of the preceding hits
+            if (i + 8 < e) __builtin_prefetch(&last[entry_profiles[i + 8]], 1);
             const int32_t p = entry_profiles[i];
             const uint32_t udiag = static_cast<uint32_t>(
                 entry_positions[i] - static_cast<int32_t>(q) + DIAG_OFF);
@@ -308,8 +387,8 @@ static int64_t prefilter_query_impl(
                                     (static_cast<uint64_t>(udiag) << 16);
             const uint64_t prev = last[p];
             if ((prev >> 16) == (key_hi >> 16) &&
-                static_cast<uint64_t>(q) - (prev & 0xFFFF) <= PAIR_DIST) {
-                // second match on this diagonal within PAIR_DIST; push
+                static_cast<uint64_t>(q) - (prev & 0xFFFF) <= pair_dist) {
+                // second match on this diagonal within pair_dist; push
                 // once per (p, diag)
                 const uint64_t mark = (epoch << DIAG_BITS) | udiag;
                 if (cand_mark[p] != mark) {
@@ -326,6 +405,26 @@ static int64_t prefilter_query_impl(
                         static_cast<uint32_t>(q));
             }
         }
+    };
+    struct Pend { int32_t b, e; int64_t q; };
+    Pend p1{0, 0, 0}, p2{0, 0, 0};
+    bool h1 = false, h2 = false;
+    auto push_hits = [&](int64_t code, int64_t q) {
+        const int32_t b = code_table[code], e = code_table[code + 1];
+        n_hits += e - b;
+        ++n_exp_codes;
+        __builtin_prefetch(&entry_profiles[b]);
+        __builtin_prefetch(&entry_positions[b]);
+        if (h2) process_range(p2.b, p2.e, p2.q);
+        if (h1) {
+            const int32_t lim = std::min(p1.e, p1.b + 8);
+            for (int32_t i = p1.b; i < lim; ++i)
+                __builtin_prefetch(&last[entry_profiles[i]], 1);
+            p2 = p1;
+            h2 = true;
+        }
+        p1 = {b, e, q};
+        h1 = true;
     };
     for (int64_t q = 0; q < n_codes; ++q) {
         int64_t code = query_codes[q];
@@ -360,19 +459,14 @@ static int64_t prefilter_query_impl(
             }
         }
     }
+    if (h2) process_range(p2.b, p2.e, p2.q);  // drain the pipeline
+    if (h1) process_range(p1.b, p1.e, p1.q);
     auto t_enum1 = std::chrono::steady_clock::now();
-    // 3. sort + dedup the candidate diagonals (grouped by profile so the
-    // Kadane passes of one profile's diagonals reuse its cached PSSM block)
-    std::sort(cand.begin(), cand.end());
-    auto t_sort1 = std::chrono::steady_clock::now();
-    auto& selected = scratch.selected;
-    selected.clear();
-    float cur_best = -1.0f;
-    int32_t cur_profile = -1;
-    auto flush = [&]() {
-        if (cur_profile >= 0 && cur_best >= min_ungapped_score)
-            selected.emplace_back(cur_best, cur_profile);
-    };
+    // 3. radix-order the candidates by profile (ascending-address PSSM
+    // sweep, see file comment) and stream them through the diagonal
+    // scan; per-profile bests in the stamped ``best`` table, threshold
+    // passers collected once each.
+    //
     // Extension window around the first double hit (query coords). The
     // ungapped score is the maximal subarray CONTAINED in the window — a
     // local-extension approximation of the full-diagonal score. The window
@@ -384,70 +478,183 @@ static int64_t prefilter_query_impl(
     // (MMseqs2 likewise caps its prefilter diagonal scores — at the uchar
     // saturation bound of its SIMD scorer.) Exact-k-mer mode (tests, small
     // DBs, the numpy-fallback contract) keeps the full-diagonal scan.
-    const int64_t W = expand ? 16 : (query_length > DIAG_OFF
-                                         ? query_length
-                                         : static_cast<int64_t>(DIAG_OFF));
-    size_t i = 0;
-    const size_t n = cand.size();
-    while (i < n) {
-        size_t j = i + 1;
-        while (j < n && cand[j].first == cand[i].first) ++j;
-        // look-ahead: the sorted candidate list makes upcoming PSSM
-        // windows fully predictable — overlap their first cache lines
-        // with the current candidate's scan (per-candidate first-touch
-        // misses are the scan's latency floor once W is small)
-        if (i + 4 < n) {
-            const uint64_t k4 = cand[i + 4].first;
-            const int32_t p4 = static_cast<int32_t>(k4 >> DIAG_BITS);
-            const int32_t d4 = static_cast<int32_t>(
-                (k4 & ((1u << DIAG_BITS) - 1)) - DIAG_OFF);
-            const int64_t hq4 = cand[i + 4].second;
-            const float* a4 =
-                pssm + (offsets[p4] + d4 + std::max<int64_t>(
-                                               d4 < 0 ? -d4 : 0, hq4 - W)) *
-                           NAA;
-            for (int r = 0; r < 8; r += 2)
-                __builtin_prefetch(a4 + r * NAA);
+    const int64_t W = expand ? config().window
+                             : (query_length > DIAG_OFF
+                                    ? query_length
+                                    : static_cast<int64_t>(DIAG_OFF));
+    uint64_t* best_tab = scratch.best.data();
+    auto& sel_ids = scratch.sel_ids;
+    sel_ids.clear();
+    {
+        // order candidates by profile id (2x9-bit LSD radix, stable):
+        // the scan then sweeps the PSSM in ascending address order
+        auto& tmp = scratch.cand_tmp;
+        tmp.resize(cand.size());
+        uint32_t count[512];
+        for (int pass = 0; pass < 2; ++pass) {
+            const int shift = DIAG_BITS + 9 * pass;
+            std::memset(count, 0, sizeof(count));
+            for (auto& c : cand) ++count[(c.first >> shift) & 511];
+            uint32_t sum = 0;
+            for (auto& x : count) { uint32_t t = x; x = sum; sum += t; }
+            for (auto& c : cand) tmp[count[(c.first >> shift) & 511]++] = c;
+            std::swap(cand, tmp);
         }
-        {
-            const uint64_t key = cand[i].first;
-            const int64_t hit_q = cand[i].second;
-            const int32_t p = static_cast<int32_t>(key >> DIAG_BITS);
-            const int32_t diag = static_cast<int32_t>(
-                (key & ((1u << DIAG_BITS) - 1)) - DIAG_OFF);
-            if (p != cur_profile) {
-                flush();
-                cur_profile = p;
-                cur_best = -1.0f;
+    }
+    const size_t n = cand.size();
+    // lookahead distance: each candidate's window lines prefetch PF
+    // candidates before its scan, deep enough to cover DRAM latency at
+    // ~40-60 ns/candidate scan time
+    constexpr size_t PF = 12;
+    constexpr int64_t PF_MAX_BYTES = 2048;  // cap per-candidate prefetch
+    auto decode = [&](size_t i, int32_t& p, int32_t& diag, int64_t& hit_q) {
+        const uint64_t key = cand[i].first;
+        p = static_cast<int32_t>(key >> DIAG_BITS);
+        diag = static_cast<int32_t>((key & ((1u << DIAG_BITS) - 1)) -
+                                    DIAG_OFF);
+        hit_q = cand[i].second;
+    };
+    auto window_bounds = [&](int32_t p, int32_t diag, int64_t hit_q,
+                             int64_t& q_lo, int64_t& q_hi) {
+        q_lo = std::max<int64_t>(diag < 0 ? -diag : 0, hit_q - W);
+        q_hi = std::min<int64_t>(
+            std::min<int64_t>(query_length, lengths[p] - diag), hit_q + W + K);
+    };
+    const int64_t elem = pssm8 ? 1 : 4;
+#if defined(__AVX512F__)
+    // SIMD gather operands: precomputed once per query so each candidate's
+    // scan is 16-wide dword gathers (16 concurrent loads per instruction —
+    // the scan is DRAM-latency bound, and memory-level parallelism inside
+    // a candidate is what a scalar byte loop cannot express)
+    const bool simd = pssm8 != nullptr;
+    if (simd) {
+        scratch.qidx.resize(query_length + 16);
+        scratch.qvalid.resize(query_length + 16);
+        for (int64_t t = 0; t < query_length; ++t) {
+            const int8_t r = residues[t];
+            const bool v = r < NAA;
+            scratch.qidx[t] =
+                static_cast<int32_t>(t * NAA + (v ? r : 0));
+            scratch.qvalid[t] = v ? -1 : 0;
+        }
+        for (int i = 0; i < 16; ++i) {
+            scratch.qidx[query_length + i] = 0;
+            scratch.qvalid[query_length + i] = 0;
+        }
+    }
+    const int32_t* qidx = scratch.qidx.data();
+    const int32_t* qvalid = scratch.qvalid.data();
+#endif
+    for (size_t i = 0; i < n; ++i) {
+        if (i + PF < n) {
+            int32_t p2, d2;
+            int64_t hq2, lo2, hi2;
+            decode(i + PF, p2, d2, hq2);
+            window_bounds(p2, d2, hq2, lo2, hi2);
+            if (hi2 > lo2) {
+                const char* base =
+                    (pssm8 ? reinterpret_cast<const char*>(pssm8)
+                           : reinterpret_cast<const char*>(pssm)) +
+                    (offsets[p2] + d2 + lo2) * NAA * elem;
+                const int64_t bytes =
+                    std::min<int64_t>((hi2 - lo2) * NAA * elem, PF_MAX_BYTES);
+                for (int64_t off = 0; off < bytes; off += 64)
+                    __builtin_prefetch(base + off);
             }
-            // 4. Kadane maximal-subarray scan along the diagonal, windowed
-            const int64_t p_len = lengths[p];
-            const int64_t q_lo = std::max<int64_t>(diag < 0 ? -diag : 0,
-                                                   hit_q - W);
-            const int64_t q_hi = std::min<int64_t>(
-                std::min<int64_t>(query_length, p_len - diag),
-                hit_q + W + K);
-            if (q_hi > q_lo) {
+        }
+        int32_t p, diag;
+        int64_t hit_q, q_lo, q_hi;
+        decode(i, p, diag, hit_q);
+        window_bounds(p, diag, hit_q, q_lo, q_hi);
+        float bestf = 0.0f;
+        if (q_hi > q_lo) {
+            if (pssm8) {
+                // int8 rows, int32 accumulation — exact for integral PSSMs
+                const int8_t* prof = pssm8 + (offsets[p] + diag) * NAA;
+                int32_t running = 0, best = 0;
+#if defined(__AVX512F__)
+                // 16-wide gathers: address = prof + t*20 + residue
+                // (= prof + qidx[t]); masked tail lanes contribute 0,
+                // which cannot change a max-subarray, so the scalar
+                // Kadane runs over whole 16-chunks. The dword gather
+                // reads up to 3 bytes past a row's score — the int8
+                // buffer is allocated with tail padding (profiledb
+                // pssm_i8) so the final rows are safe too.
+                alignas(64) int32_t buf[16];
+                for (int64_t t0 = q_lo; t0 < q_hi; t0 += 16) {
+                    const int rem =
+                        static_cast<int>(std::min<int64_t>(16, q_hi - t0));
+                    const __mmask16 m =
+                        rem >= 16 ? static_cast<__mmask16>(0xFFFF)
+                                  : static_cast<__mmask16>((1u << rem) - 1);
+                    __m512i vidx = _mm512_loadu_si512(
+                        reinterpret_cast<const void*>(qidx + t0));
+                    __m512i g = _mm512_mask_i32gather_epi32(
+                        _mm512_setzero_si512(), m, vidx, prof, 1);
+                    g = _mm512_srai_epi32(_mm512_slli_epi32(g, 24), 24);
+                    g = _mm512_and_si512(
+                        g, _mm512_loadu_si512(
+                               reinterpret_cast<const void*>(qvalid + t0)));
+                    g = _mm512_maskz_mov_epi32(m, g);
+                    _mm512_store_si512(buf, g);
+                    for (int k = 0; k < 16; ++k) {
+                        running += buf[k];
+                        if (running < 0) running = 0;
+                        if (running > best) best = running;
+                    }
+                }
+#else
+                for (int64_t t = q_lo; t < q_hi; ++t) {
+                    const int8_t res = residues[t];
+                    const int32_t s = res < NAA ? prof[t * NAA + res] : 0;
+                    running += s;
+                    if (running < 0) running = 0;
+                    if (running > best) best = running;
+                }
+#endif
+                bestf = static_cast<float>(best);
+            } else {
                 const float* prof = pssm + (offsets[p] + diag) * NAA;
                 float running = 0.0f, best = 0.0f;
                 for (int64_t t = q_lo; t < q_hi; ++t) {
-                    // PSSM rows are 80 B apart — every step opens a new
-                    // cache line; streaming ahead overlaps the misses
+                    // f32 rows are 80 B apart — every step opens a new
+                    // cache line past the lookahead's 2 KB cap; stream
+                    // ahead to overlap the misses (the exact-k-mer mode's
+                    // full-diagonal scans run through here)
                     if (t + 8 < q_hi)
                         __builtin_prefetch(prof + (t + 8) * NAA);
                     const int8_t res = residues[t];
-                    const float s =
-                        res < NAA ? prof[t * NAA + res] : 0.0f;
+                    const float s = res < NAA ? prof[t * NAA + res] : 0.0f;
                     running += s;
                     if (running < 0.0f) running = 0.0f;
                     if (running > best) best = running;
                 }
-                if (best > cur_best) cur_best = best;
+                bestf = best;
             }
         }
-        i = j;
+        const uint64_t cur = best_tab[p];
+        const uint32_t sbits = f32_bits(bestf);
+        if ((cur >> 32) != epoch) {
+            best_tab[p] = (epoch << 32) | sbits;
+            if (bestf >= min_ungapped_score) sel_ids.push_back(p);
+        } else if (sbits > static_cast<uint32_t>(cur)) {
+            best_tab[p] = (epoch << 32) | sbits;
+            if (bits_f32(static_cast<uint32_t>(cur)) < min_ungapped_score &&
+                bestf >= min_ungapped_score)
+                sel_ids.push_back(p);
+        }
     }
-    flush();
+    auto t_scan1 = std::chrono::steady_clock::now();
+    // 4. emit: score desc, profile id asc on ties (MMseqs2's prefilter
+    // result order, consumed by --max-rejected)
+    auto& selected = scratch.selected;
+    selected.clear();
+    selected.reserve(sel_ids.size());
+    for (int32_t p : sel_ids)
+        selected.emplace_back(bits_f32(static_cast<uint32_t>(best_tab[p])), p);
+    std::sort(selected.begin(), selected.end(), [](auto& x, auto& y) {
+        return x.first != y.first ? x.first > y.first : x.second < y.second;
+    });
     if (stats) {
         auto t_end = std::chrono::steady_clock::now();
         g_stats.hits += n_hits;
@@ -457,20 +664,15 @@ static int64_t prefilter_query_impl(
             std::chrono::duration_cast<std::chrono::nanoseconds>(t_enum1 -
                                                                  t_enum0)
                 .count();
-        g_stats.sort_ns +=
-            std::chrono::duration_cast<std::chrono::nanoseconds>(t_sort1 -
+        g_stats.scan_ns +=
+            std::chrono::duration_cast<std::chrono::nanoseconds>(t_scan1 -
                                                                  t_enum1)
                 .count();
-        g_stats.kadane_ns +=
+        g_stats.emit_ns +=
             std::chrono::duration_cast<std::chrono::nanoseconds>(t_end -
-                                                                 t_sort1)
+                                                                 t_scan1)
                 .count();
     }
-    // output order: ungapped score descending, profile id ascending on ties
-    // (MMseqs2's prefilter result order, consumed by --max-rejected)
-    std::sort(selected.begin(), selected.end(), [](auto& x, auto& y) {
-        return x.first != y.first ? x.first > y.first : x.second < y.second;
-    });
     const int64_t n_out =
         std::min<int64_t>(static_cast<int64_t>(selected.size()), max_out);
     for (int64_t k = 0; k < n_out; ++k) {
@@ -490,6 +692,7 @@ int64_t prefilter_query(
     const int8_t* residues,
     int64_t query_length,
     const float* pssm,
+    const int8_t* pssm8,
     const int64_t* offsets,
     const int32_t* lengths,
     float min_ungapped_score,
@@ -504,7 +707,7 @@ int64_t prefilter_query(
     Scratch scratch;
     return prefilter_query_impl(
         code_table, entry_profiles, entry_positions, n_profiles, query_codes,
-        n_codes, residues, query_length, pssm, offsets, lengths,
+        n_codes, residues, query_length, pssm, pssm8, offsets, lengths,
         min_ungapped_score, tables, out_profiles, out_scores, max_out,
         scratch);
 }
@@ -526,6 +729,7 @@ int64_t prefilter_batch(
     const int64_t* residue_offsets,  // (n_queries+1)
     int64_t n_queries,
     const float* pssm,
+    const int8_t* pssm8,
     const int64_t* offsets,
     const int32_t* lengths,
     float min_ungapped_score,
@@ -551,8 +755,8 @@ int64_t prefilter_batch(
                 query_codes + code_offsets[q],
                 code_offsets[q + 1] - code_offsets[q],
                 residues + residue_offsets[q],
-                residue_offsets[q + 1] - residue_offsets[q], pssm, offsets,
-                lengths, min_ungapped_score, tables,
+                residue_offsets[q + 1] - residue_offsets[q], pssm, pssm8,
+                offsets, lengths, min_ungapped_score, tables,
                 out_profiles + q * max_out_per_query,
                 out_scores ? out_scores + q * max_out_per_query : nullptr,
                 max_out_per_query, scratch);
@@ -565,20 +769,20 @@ int64_t prefilter_batch(
     if (stats_enabled() && n_queries > 4) {
         std::fprintf(
             stderr,
-            "[prefilter stats] %lld queries: %.2f M hits (%.0f/q), "
+            "[prefilter stats] %lld queries (%s scan): %.2f M hits (%.0f/q), "
             "%.2f M expanded codes (%.0f/q), %.0f cand/q; "
-            "enum %.1f ms/q, sort %.1f ms/q, kadane %.1f ms/q "
+            "enum %.1f ms/q, scan %.1f ms/q, emit %.1f ms/q "
             "(thread-summed)\n",
-            static_cast<long long>(n_queries),
+            static_cast<long long>(n_queries), pssm8 ? "int8" : "f32",
             g_stats.hits.load() / 1e6, g_stats.hits.load() / double(n_queries),
             g_stats.codes.load() / 1e6,
             g_stats.codes.load() / double(n_queries),
             g_stats.cands.load() / double(n_queries),
             g_stats.enum_ns.load() / 1e6 / n_queries,
-            g_stats.sort_ns.load() / 1e6 / n_queries,
-            g_stats.kadane_ns.load() / 1e6 / n_queries);
+            g_stats.scan_ns.load() / 1e6 / n_queries,
+            g_stats.emit_ns.load() / 1e6 / n_queries);
         g_stats.hits = g_stats.codes = g_stats.cands = 0;
-        g_stats.enum_ns = g_stats.sort_ns = g_stats.kadane_ns = 0;
+        g_stats.enum_ns = g_stats.scan_ns = g_stats.emit_ns = 0;
     }
     return n_queries;
 }

@@ -328,6 +328,85 @@ def _orf_candidates(region_start, orf_end, partial_end, starts_at, codon_idx):
             yield (pos, orf_end, partial_begin, partial_end, start_type)
 
 
+# codon index -> start-type index (0=ATG 1=GTG 2=TTG), -1 otherwise
+_START_CODE_LUT = np.full(64, -1, np.int8)
+for _c in _STARTS:
+    _START_CODE_LUT[_codon_index(_c)] = {"ATG": 0, "GTG": 1, "TTG": 2}[_c]
+_EDGE_STYPE = np.int8(3)
+
+
+def _candidate_arrays(seq: str, code: int):
+    """Vectorized ``_find_orfs``: every candidate gene on the forward
+    strand of ``seq`` as flat arrays (begin0, end0_exclusive,
+    partial_begin, partial_end, stype 0=ATG/1=GTG/2=TTG/3=Edge), in the
+    scalar generator's order (frame-major, region-major, the contig-edge
+    candidate before the region's start candidates) so downstream
+    stable sorts tie-break identically."""
+    n = len(seq)
+    upper = seq.upper()
+    is_stop, is_start, codon_idx = _codon_masks(upper, code)
+    cols = [[], [], [], [], []]
+    for frame in range(3):
+        pos = np.arange(frame, n - 2, 3)
+        if not len(pos):
+            continue
+        stops_at = pos[is_stop[pos]]
+        starts_at = pos[is_start[pos]]
+        last_full = frame + ((n - frame) // 3) * 3
+        region_starts = np.concatenate([[frame], stops_at + 3])
+        region_ends = np.concatenate([stops_at + 3, [last_full]])
+        region_pe = np.zeros(len(region_ends), bool)
+        region_pe[-1] = True
+        keep = region_ends - region_starts >= MIN_GENE_LENGTH
+        region_starts = region_starts[keep]
+        region_ends = region_ends[keep]
+        region_pe = region_pe[keep]
+        n_regions = len(region_starts)
+        if not n_regions:
+            continue
+        lo = np.searchsorted(starts_at, region_starts)
+        hi = np.searchsorted(starts_at, region_ends - 2)
+        counts = hi - lo
+        total = int(counts.sum())
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total) - np.repeat(cum, counts)
+        s_pos = starts_at[np.repeat(lo, counts) + within]
+        s_end = np.repeat(region_ends, counts)
+        s_pe = np.repeat(region_pe, counts)
+        s_region = np.repeat(np.arange(n_regions), counts)
+        # contig-edge partial candidates, inserted before their region's
+        # start candidates (rank 0 vs 1 + within)
+        e_mask = region_starts < 3
+        n_edge = int(e_mask.sum())
+        pos_all = np.concatenate([region_starts[e_mask], s_pos])
+        end_all = np.concatenate([region_ends[e_mask], s_end])
+        pe_all = np.concatenate([region_pe[e_mask], s_pe])
+        pb_all = np.concatenate([np.ones(n_edge, bool), np.zeros(total, bool)])
+        st_all = np.concatenate(
+            [
+                np.full(n_edge, _EDGE_STYPE, np.int8),
+                _START_CODE_LUT[codon_idx[s_pos]] if total else
+                np.zeros(0, np.int8),
+            ]
+        )
+        region_all = np.concatenate([np.nonzero(e_mask)[0], s_region])
+        rank_all = np.concatenate(
+            [np.zeros(n_edge, np.int64), 1 + within]
+        )
+        order = np.lexsort((rank_all, region_all))
+        keep2 = (end_all - pos_all)[order] >= MIN_GENE_LENGTH
+        order = order[keep2]
+        cols[0].append(pos_all[order])
+        cols[1].append(end_all[order])
+        cols[2].append(pb_all[order])
+        cols[3].append(pe_all[order])
+        cols[4].append(st_all[order])
+    if not cols[0]:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, bool), np.zeros(0, bool), np.zeros(0, np.int8)
+    return tuple(np.concatenate(c) for c in cols)
+
+
 def _gc_content(s: str) -> float:
     s = s.upper()
     n = max(len(s), 1)
@@ -396,11 +475,64 @@ class _StrandScorer:
         i = (begin - f) // 3
         return float(c[i + count] - c[i])
 
+    def score_vec(self, begin: np.ndarray, end: np.ndarray) -> np.ndarray:
+        """Vectorized ``score`` over candidate arrays (same prefix-sum
+        lookups, batched via a padded per-frame cum stack)."""
+        if not len(begin):
+            return np.zeros(0, np.float64)
+        stack = getattr(self, "_cum_stack", None)
+        if stack is None:
+            width = max(len(c) for c in self._cum)
+            stack = np.zeros((3, width), np.float64)
+            for f in range(3):
+                stack[f, : len(self._cum[f])] = self._cum[f]
+            self._cum_stack = stack
+        f = begin % 3
+        count = np.maximum((end - begin - 6) // 3 + 1, 0)
+        i = (begin - f) // 3
+        vals = stack[f, i + count] - stack[f, i]
+        return np.where(end - begin >= 6, vals, 0.0)
+
     def gc(self, begin: int, end: int) -> float:
         return float(self._gc_cum[end] - self._gc_cum[begin]) / max(end - begin, 1)
 
 
 _START_TYPE_IDX = {"ATG": 0, "GTG": 1, "TTG": 2}
+_START_TYPE_NAMES = ("ATG", "GTG", "TTG", "ATG")  # index 3 = Edge -> "ATG"
+
+
+def _select_indices(begin: np.ndarray, end: np.ndarray, score: np.ndarray):
+    """Array form of ``_select_genes``: indices of the max-weight
+    compatible candidate subset, in selection order. Identical recurrence,
+    sort key, tie behavior, and traceback as the Gene-object version."""
+    n = len(begin)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    order = np.lexsort((begin, end))  # stable (end, begin) sort
+    b = begin[order]
+    e = end[order]
+    # pred[i]: candidates among the first i with end <= begin_i + overlap;
+    # e is sorted, so the full-array searchsorted clipped to i matches the
+    # scalar's searchsorted over ends[:i]
+    pred = np.minimum(
+        np.searchsorted(e, b + MAX_OVERLAP, side="right"), np.arange(n)
+    ).tolist()
+    s = score[order].tolist()
+    dp = [0.0] * (n + 1)
+    for i in range(n):
+        cand = s[i] + dp[pred[i]]
+        prev = dp[i]
+        dp[i + 1] = prev if prev >= cand else cand
+    sel = []
+    i = n
+    while i > 0:
+        if dp[i] == dp[i - 1]:
+            i -= 1
+        else:
+            sel.append(i - 1)
+            i = pred[i - 1]
+    sel.reverse()
+    return order[sel]
 
 
 def _call_genes_with_tables(seq: str, tinfo) -> list[Gene]:
@@ -408,13 +540,19 @@ def _call_genes_with_tables(seq: str, tinfo) -> list[Gene]:
 
     Every candidate node scores as cscore (gene_dc dicodon sum) + sscore
     (start-type + RBS-bin/motif + upstream composition, all from the
-    model's tables — ops.prodigal_model.start_score); the weighted-
-    interval DP then selects the max-score compatible set (prodigal's
-    connection scoring reduced to its overlap rule: same-strand overlap
-    up to MAX_OVERLAP nt). Swapping ``tinfo`` swaps every coordinate
-    decision — pretrained pyrodigal-gv profiles drop in for parity, the
-    self-trained hexamer tables (from_hexamer_model) are the no-data
-    fallback source.
+    model's tables — the vectorized forms of ops.prodigal_model's scoring
+    functions); the weighted-interval DP then selects the max-score
+    compatible set (prodigal's connection scoring reduced to its overlap
+    rule: same-strand overlap up to MAX_OVERLAP nt). Swapping ``tinfo``
+    swaps every coordinate decision — pretrained pyrodigal-gv profiles
+    drop in for parity, the self-trained hexamer tables
+    (from_hexamer_model) are the no-data fallback source.
+
+    The whole candidate pass is array work (candidate enumeration,
+    prefix-sum coding scores, per-position SD bins / motif maxima,
+    upstream-composition gathers); Gene objects — including their cds
+    string slices — materialize only for the DP winners, which is what
+    took per-contig calling from ~0.4 to multi-Mbp/s on this host.
     """
     from genomad_tpu.ops import prodigal_model as pm
 
@@ -422,54 +560,92 @@ def _call_genes_with_tables(seq: str, tinfo) -> list[Gene]:
     n = len(seq)
     rc = seqlib.Sequence("x", seq).rc().seq
     gene_dc = np.asarray(tinfo.gene_dc, np.float64)
-    candidates: list[Gene] = []
-    for strand, s in ((1, seq), (-1, rc)):
+    st_wt = float(tinfo.start_weight)
+    type_w = np.asarray(tinfo.type_weights, np.float64)
+    rbs_w = np.asarray(tinfo.rbs_weights, np.float64)
+
+    strands = ((1, seq), (-1, rc))
+    scorers = {}
+    per_strand = []
+    for strand, s in strands:
         upper = s.upper()
         codes2bit = _BASE_LUT[np.frombuffer(upper.encode(), np.uint8)]
         scorer = _StrandScorer(gene_dc, codes2bit)
-        for begin0, end0, partial_begin, partial_end, start_type in _find_orfs(s, code):
-            cds = s[begin0:end0]
-            coding_score = scorer.score(begin0, end0)
-            if start_type == "Edge":
-                rbs_motif, rbs_spacer = "None", "None"
-                sscore = 0.0
+        scorers[strand] = (s, scorer)
+        b0, e0, pb, pe, stype = _candidate_arrays(s, code)
+        m = len(b0)
+        if m == 0:
+            continue
+        cscore = scorer.score_vec(b0, e0)
+        edge = stype == _EDGE_STYPE
+        sscore = np.zeros(m, np.float64)
+        rbs_bin = np.zeros(m, np.int64)
+        if not edge.all():
+            tsc = type_w[np.where(edge, 0, stype)] * st_wt
+            usc = pm.upstream_scores(tinfo, codes2bit, b0)
+            if tinfo.uses_sd:
+                sd_at = pm.sd_bins_at(codes2bit)
+                rbs_bin = sd_at[b0].astype(np.int64)
+                rsc = rbs_w[rbs_bin] * st_wt
             else:
-                upstream = upper[max(0, begin0 - 45) : begin0]
-                if tinfo.uses_sd:
-                    rbs_bin = pm.shine_dalgarno_bin(upstream[-20:])
-                    rbs_motif, rbs_spacer = pm.BIN_NAMES[rbs_bin]
-                else:
-                    rbs_motif, rbs_spacer = "None", "None"
-                sscore = pm.start_score(
-                    tinfo, _START_TYPE_IDX[start_type], upstream
-                )
-            score = coding_score + sscore
-            # prefer longer genes among nested candidates: small per-nt bonus
-            score += 0.001 * len(cds)
-            if strand == 1:
-                begin, end = begin0 + 1, end0
-                pb, pe = partial_begin, partial_end
-            else:
-                begin, end = n - end0 + 1, n - begin0
-                pb, pe = partial_end, partial_begin
-            candidates.append(
-                Gene(
-                    begin=begin,
-                    end=end,
-                    strand=strand,
-                    partial_begin=pb,
-                    partial_end=pe,
-                    start_type="ATG" if start_type == "Edge" else start_type,
-                    rbs_motif=rbs_motif,
-                    rbs_spacer=rbs_spacer,
-                    genetic_code=code,
-                    gc_cont=scorer.gc(begin0, end0),
-                    score=score,
-                    coding_score=coding_score,
-                    cds=cds,
-                )
+                mot = pm.motif_best_at(tinfo, codes2bit)
+                rsc = np.maximum(mot[b0], tinfo.no_motif_weight) * st_wt
+            sscore = np.where(edge, 0.0, tsc + rsc + usc)
+        # prefer longer genes among nested candidates: small per-nt bonus
+        total = cscore + sscore + 0.001 * (e0 - b0)
+        if strand == 1:
+            begin, end = b0 + 1, e0
+            pbg, peg = pb, pe
+        else:
+            begin, end = n - e0 + 1, n - b0
+            pbg, peg = pe, pb
+        per_strand.append(
+            dict(
+                strand=strand, b0=b0, e0=e0, begin=begin, end=end,
+                pb=pbg, pe=peg, stype=stype, rbs_bin=rbs_bin,
+                cscore=cscore, total=total,
             )
-    return _select_genes(candidates)
+        )
+    if not per_strand:
+        return []
+    cat = {
+        k: np.concatenate([d[k] for d in per_strand])
+        for k in ("b0", "e0", "begin", "end", "pb", "pe", "stype",
+                  "rbs_bin", "cscore", "total")
+    }
+    cat["strand"] = np.concatenate(
+        [np.full(len(d["b0"]), d["strand"], np.int8) for d in per_strand]
+    )
+    selected = _select_indices(cat["begin"], cat["end"], cat["total"])
+    genes = []
+    for i in selected.tolist():
+        strand = int(cat["strand"][i])
+        s, scorer = scorers[strand]
+        b0, e0 = int(cat["b0"][i]), int(cat["e0"][i])
+        stype = int(cat["stype"][i])
+        is_edge = stype == _EDGE_STYPE
+        if is_edge or not tinfo.uses_sd:
+            rbs_motif, rbs_spacer = "None", "None"
+        else:
+            rbs_motif, rbs_spacer = pm.BIN_NAMES[int(cat["rbs_bin"][i])]
+        genes.append(
+            Gene(
+                begin=int(cat["begin"][i]),
+                end=int(cat["end"][i]),
+                strand=strand,
+                partial_begin=bool(cat["pb"][i]),
+                partial_end=bool(cat["pe"][i]),
+                start_type=_START_TYPE_NAMES[stype],
+                rbs_motif=rbs_motif,
+                rbs_spacer=rbs_spacer,
+                genetic_code=code,
+                gc_cont=scorer.gc(b0, e0),
+                score=float(cat["total"][i]),
+                coding_score=float(cat["cscore"][i]),
+                cds=s[b0:e0],
+            )
+        )
+    return genes
 
 
 def _call_genes_for_code(seq: str, code: int, model: HexamerModel) -> list[Gene]:
@@ -497,21 +673,44 @@ def _all_frame_hexamers(codes: np.ndarray) -> np.ndarray:
 def _training_stats(seq: str, code: int) -> tuple[np.ndarray, int, np.ndarray]:
     """Per-sequence training statistics — in-frame hexamer counts over long
     ORFs (both strands), their total, and the all-frame background. All three
-    are additive across contigs, so training reduces over a process pool."""
+    are additive across contigs, so training reduces over a process pool.
+
+    Fully array work: candidate ORFs from _candidate_arrays; each kept
+    ORF's in-frame hexamer multiset accumulates via a per-frame
+    difference-array multiplicity (overlapping candidate ORFs count their
+    shared hexamers once per ORF — the multiplicity the per-ORF loop
+    produced)."""
     counts = np.zeros(4096, np.float64)
     n_train = 0
     background = np.zeros(4096, np.float64)
     upper = seq.upper()
     for s in (upper, seqlib.Sequence("x", upper).rc().seq):
         arr_s = _BASE_LUT[np.frombuffer(s.encode(), np.uint8)]
-        background += _all_frame_hexamers(arr_s)
-        for begin0, end0, _, _, _ in _find_orfs(s, code):
-            if end0 - begin0 >= TRAINING_MIN_ORF:
-                hexes = HexamerModel._hexamer_codes(arr_s[begin0:end0])
-                hexes = hexes[hexes >= 0]
-                if len(hexes):
-                    counts += np.bincount(hexes, minlength=4096)
-                    n_train += len(hexes)
+        nh = len(arr_s) - 5
+        if nh <= 0:
+            continue
+        windows = np.lib.stride_tricks.sliding_window_view(arr_s, 6)[:nh]
+        valid = (windows < 4).all(axis=1)
+        weights = 4 ** np.arange(5, -1, -1, dtype=np.int64)
+        vals = windows.astype(np.int64) @ weights
+        background += np.bincount(vals[valid], minlength=4096)
+        b0, e0, _, _, _ = _candidate_arrays(s, code)
+        keep = e0 - b0 >= TRAINING_MIN_ORF
+        b_all, e_all = b0[keep], e0[keep]
+        for f in range(3):
+            sel = (b_all % 3) == f
+            if not sel.any():
+                continue
+            size = (nh - f + 2) // 3  # in-frame hexamer positions
+            i_lo = (b_all[sel] - f) // 3
+            i_hi = (e_all[sel] - 6 - f) // 3  # inclusive
+            diff = np.zeros(size + 1, np.int64)
+            np.add.at(diff, i_lo, 1)
+            np.add.at(diff, i_hi + 1, -1)
+            mult = np.cumsum(diff[:-1])
+            w = np.where(valid[f::3][:size], mult, 0)
+            counts += np.bincount(vals[f::3][:size], weights=w, minlength=4096)
+            n_train += int(w.sum())
     return counts, n_train, background
 
 
@@ -681,9 +880,11 @@ class Prodigal:
     FASTA with Prodigal-style headers and re-parses it.
 
     Parallelism mirrors the reference (prodigal.py:16-41 runs prodigal-gv
-    over FASTA chunks in a process pool): gene calling fans out over contigs
-    across ``threads`` forked workers after a single shared training pass,
-    and blocks are written back in deterministic input order.
+    over FASTA chunks in a process pool) but over THREADS: per-contig
+    calling is vectorized numpy that releases the GIL on its big array
+    ops, so threads scale without the fork-under-JAX-threads deadlock
+    hazard a process pool carries (and without pickling the trained
+    finder). Blocks are written back in deterministic input order.
     """
 
     def __init__(self, input_file: Path, prodigal_output: Path) -> None:
@@ -692,28 +893,23 @@ class Prodigal:
 
     def run_parallel_prodigal(self, threads: int | None = None) -> None:
         global _WORKER_FINDER
-        import multiprocessing as mp
+        import os
+        from multiprocessing.dummy import Pool as ThreadPool
 
         contigs = [(s.accession, s.seq) for s in seqlib.read_fasta(self.input_file)]
         tasks = [(i, acc, seq) for i, (acc, seq) in enumerate(contigs, 1)]
-        n_workers = min(threads or mp.cpu_count(), max(len(tasks), 1))
-        # Fork is required for the copy-on-write finder handoff; fall back to
-        # in-process calling on platforms without it or for tiny inputs.
-        # Workers are numpy/pure-Python only (this module never imports JAX),
-        # so forking from a JAX-threaded parent is safe: no XLA/TSL lock can
-        # be held by the forked child because it never calls into them.
-        use_pool = n_workers > 1 and "fork" in mp.get_all_start_methods()
-        ctx = mp.get_context("fork") if use_pool else None
+        n_workers = min(threads or os.cpu_count() or 1, max(len(tasks), 1))
+        use_pool = n_workers > 1
         if use_pool:
-            with ctx.Pool(n_workers) as pool:
+            with ThreadPool(n_workers) as pool:
                 finder = GeneFinder([seq for _, seq in contigs], pool=pool)
         else:
             finder = GeneFinder([seq for _, seq in contigs])
-        _WORKER_FINDER = finder  # pre-fork: calling workers inherit it
+        _WORKER_FINDER = finder
         try:
             with open(self.prodigal_output, "w") as fout:
                 if use_pool:
-                    with ctx.Pool(n_workers) as pool:
+                    with ThreadPool(n_workers) as pool:
                         for block in pool.imap(_call_contig, tasks, chunksize=4):
                             fout.write(block)
                 else:

@@ -264,6 +264,101 @@ def motif_score(ti: TrainingInfo, upstream: str) -> float:
     return best
 
 
+# row i of ups_comp -> upstream offset (1-2, then 15-44; RBS region skipped)
+_UPS_OFFSETS = np.array([1, 2, *range(15, 45)], np.int64)
+
+
+def upstream_scores(
+    ti: TrainingInfo, base_codes: np.ndarray, begins: np.ndarray
+) -> np.ndarray:
+    """Vectorized ``upstream_score`` for starts at ``begins`` (0-based
+    strand positions) given the strand's per-position base codes
+    (0-3 = ACGT, 4 = unknown). Bit-equivalent term set to the scalar
+    function (summation order differs only in float association)."""
+    if not len(begins):
+        return np.zeros(0, np.float64)
+    pos = begins[:, None] - _UPS_OFFSETS[None, :]  # (n, 32)
+    valid = pos >= 0
+    b = base_codes[np.where(valid, pos, 0)].astype(np.int64)
+    ok = valid & (b < 4)
+    comp = np.asarray(ti.upstream_compositions, np.float64)  # (32, 4)
+    rows = np.arange(32)[None, :]
+    vals = np.where(ok, comp[rows, np.where(ok, b, 0)], 0.0)
+    return 0.4 * ti.start_weight * vals.sum(axis=1)
+
+
+def _motif_positions(base_codes: np.ndarray, variant: str) -> np.ndarray:
+    """Start positions of exact occurrences of ``variant`` in a strand."""
+    n = len(base_codes)
+    ml = len(variant)
+    if n < ml:
+        return np.zeros(0, np.int64)
+    pat = [_BASE_IDX[ord(c)] for c in variant]
+    m = np.ones(n - ml + 1, bool)
+    for k, b in enumerate(pat):
+        m &= base_codes[k : n - ml + 1 + k] == b
+    return np.nonzero(m)[0]
+
+
+def sd_bins_at(base_codes: np.ndarray) -> np.ndarray:
+    """(n,) best Shine-Dalgarno bin for a start codon at each position of a
+    strand — vectorized ``shine_dalgarno_bin``: motif occurrences found
+    once per variant by sliding compare, then each (bin, variant, spacer)
+    combination marks the start positions it serves; bins are applied in
+    ascending index order so the strongest matching bin wins, exactly the
+    scalar max. A motif serves a start ``b`` when it sits fully inside
+    upstream[-20:], i.e. len(motif) + spacer <= 20."""
+    n = len(base_codes)
+    out = np.zeros(n, np.int8)
+    if n == 0:
+        return out
+    occ_cache: dict[str, np.ndarray] = {}
+    for b, _fam, (lo, hi), variants in RBS_BINS:
+        plist = []
+        for v in variants:
+            occ = occ_cache.get(v)
+            if occ is None:
+                occ = _motif_positions(base_codes, v)
+                occ_cache[v] = occ
+            ml = len(v)
+            for s in range(lo, min(hi, 20 - ml) + 1):
+                plist.append(occ + ml + s)
+        if plist:
+            p = np.concatenate(plist)
+            out[p[p < n]] = b
+    return out
+
+
+def motif_best_at(ti: TrainingInfo, base_codes: np.ndarray) -> np.ndarray:
+    """(n,) best non-SD motif score (without the no_motif floor) for a
+    start at each position — vectorized ``motif_score`` core. Positions
+    with no scoring motif hold -inf; callers apply
+    ``np.maximum(result, ti.no_motif_weight)``."""
+    n = len(base_codes)
+    best = np.full(n, -np.inf)
+    for mlen in range(3, 7):
+        if n < mlen:
+            continue
+        m = n - mlen + 1
+        code = np.zeros(m, np.int64)
+        valid = np.ones(m, bool)
+        for k in range(mlen):
+            bk = base_codes[k : m + k].astype(np.int64)
+            code = code * 4 + np.where(bk < 4, bk, 0)
+            valid &= bk < 4
+        table = np.asarray(ti.motif_weights[mlen - 3], np.float64)  # (4, 4096)
+        vals = [np.where(valid, table[sbin][code], -np.inf) for sbin in range(3)]
+        for s in range(0, 16):
+            sbin = 0 if s <= 2 else (1 if s <= 10 else 2)
+            k = mlen + s
+            if k >= n:
+                continue
+            width = min(m, n - k)
+            np.maximum(best[k : k + width], vals[sbin][:width],
+                       out=best[k : k + width])
+    return best
+
+
 def start_score(ti: TrainingInfo, start_type_idx: int, upstream: str) -> float:
     """Prodigal-structured start score: tscore + rscore/mscore + uscore.
 

@@ -38,6 +38,39 @@ N_AA = 20
 KMER_K = 5
 
 
+def _advise_hugepages(arr: np.ndarray) -> None:
+    """madvise(MADV_HUGEPAGE) an array's pages. The prefilter's diagonal
+    scans are random accesses into a ~1 GB PSSM: with this host's THP in
+    'madvise' mode every 4 KB-paged candidate window pays a TLB page walk
+    that software prefetch cannot hide; 2 MB pages make the whole buffer
+    TLB-resident. Best-effort no-op off Linux or on failure."""
+    import ctypes
+    import ctypes.util
+    import os
+    import sys
+
+    if (
+        sys.platform != "linux"
+        or arr.nbytes < (1 << 22)
+        or os.environ.get("GENOMAD_NO_HUGEPAGES")
+    ):
+        return
+    try:
+        libc = ctypes.CDLL(ctypes.util.find_library("c"), use_errno=True)
+        addr = arr.ctypes.data
+        page = 1 << 21
+        start = (addr + page - 1) & ~(page - 1)
+        end = (addr + arr.nbytes) & ~(page - 1)
+        if end > start:
+            libc.madvise(
+                ctypes.c_void_p(start),
+                ctypes.c_size_t(end - start),
+                ctypes.c_int(14),  # MADV_HUGEPAGE
+            )
+    except Exception:
+        pass
+
+
 def encode_protein(seq: str | bytes) -> np.ndarray:
     """Protein string -> int8 residue indices (20 = unknown/X)."""
     if isinstance(seq, str):
@@ -99,14 +132,27 @@ class ProfileDB:
         if cached is not False:
             return cached
         p = self.pssm
-        ok = (
-            p.size == 0
-            or (
-                np.all(np.abs(p) <= 127.0)
-                and np.array_equal(p, np.trunc(p))
-            )
-        )
-        result = p.astype(np.int8) if ok else None
+        # chunked single-pass check: whole-array np.abs/np.trunc would
+        # allocate ~2x the 4 GB production PSSM in temporaries and read it
+        # three times; per-chunk temporaries stay cache-sized
+        flat_view = p.reshape(-1)
+        ok = True
+        for s in range(0, flat_view.size, 1 << 22):
+            c = flat_view[s : s + (1 << 22)]
+            if not ((np.abs(c) <= 127.0) & (c == np.trunc(c))).all():
+                ok = False
+                break
+        if ok:
+            # 64 tail pad bytes: the native scan's 16-wide dword gathers
+            # read up to 3 bytes past a score byte. madvise BEFORE
+            # populating so the first touch faults hugepages in directly
+            # (collapse-after-fill waits on khugepaged).
+            flat = np.empty(p.size + 64, np.int8)
+            _advise_hugepages(flat)
+            result = flat[: p.size].reshape(p.shape)
+            np.copyto(result, p, casting="unsafe")
+        else:
+            result = None
         self.__dict__["_pssm_i8_cache"] = result
         return result
 
@@ -130,7 +176,7 @@ class ProfileDB:
     def load(cls, path: Path) -> "ProfileDB":
         with np.load(path, allow_pickle=False) as npz:
             ka = npz["ka_stats"] if "ka_stats" in npz else (None, None)
-            return cls(
+            db = cls(
                 names=npz["names"],
                 lengths=npz["lengths"].astype(np.int32),
                 taxids=npz["taxids"].astype(np.int32),
@@ -139,6 +185,8 @@ class ProfileDB:
                 ka_lambda=None if ka[0] is None else float(ka[0]),
                 ka_k=None if ka[1] is None else float(ka[1]),
             )
+        db._source_path = Path(path)  # enables the on-disk k-mer index cache
+        return db
 
     @classmethod
     def from_profiles(cls, names, pssms, taxids=None) -> "ProfileDB":
@@ -162,6 +210,7 @@ class ProfileDB:
         min_len: int = 40,
         max_len: int = 300,
         residue_freqs=None,
+        integral: bool = False,
     ) -> "ProfileDB":
         """Deterministic random DB: each profile strongly prefers one random
         'consensus' sequence (positive score on the consensus residue,
@@ -170,7 +219,12 @@ class ProfileDB:
         ``residue_freqs``: consensus residue distribution (default uniform;
         pass ops.statistics.BACKGROUND_FREQS for a composition-realistic DB
         — uniform consensus over-represents rare high-scoring residues like
-        W/C, which inflates similar-k-mer list sizes ~25x vs real DBs)."""
+        W/C, which inflates similar-k-mer list sizes ~25x vs real DBs).
+
+        ``integral``: round scores to integers — the shape of REAL profile
+        databases (MMseqs2/geNomad profiles store integer scores), which
+        enables the exact int8 prefilter scan and bf16 device staging;
+        benchmarks should pass True so they measure the production path."""
         rng = np.random.default_rng(seed)
         names, pssms = [], []
         taxids = rng.integers(0, 1000, n_profiles).astype(np.int32)
@@ -182,6 +236,8 @@ class ProfileDB:
                 consensus = rng.choice(N_AA, L, p=residue_freqs)
             pssm = rng.normal(-2.0, 0.7, (L, N_AA)).astype(np.float32)
             pssm[np.arange(L), consensus] += rng.uniform(5.0, 9.0, L).astype(np.float32)
+            if integral:
+                pssm = np.round(pssm).astype(np.float32)
             names.append(f"GENOMAD.{i:06d}.XX")
             pssms.append(pssm)
         return cls.from_profiles(names, pssms, taxids)
@@ -203,6 +259,22 @@ class ProfileDB:
         """
         if self._kmer_index is not None and self._kmer_index[0] == top_residues:
             return self._kmer_index[1]
+        cache_path = self._index_cache_path(top_residues)
+        if cache_path is not None and cache_path.exists():
+            src = getattr(self, "_source_path", None)
+            if src is None or cache_path.stat().st_mtime >= src.stat().st_mtime:
+                try:
+                    with np.load(cache_path, allow_pickle=False) as npz:
+                        index = _KmerIndex(
+                            sorted_kmers=npz["sorted_kmers"],
+                            profiles=npz["profiles"],
+                            positions=npz["positions"],
+                            table=npz["table"],
+                        )
+                    self._kmer_index = (top_residues, index)
+                    return index
+                except Exception:
+                    pass  # corrupt/stale cache: rebuild below
         entries_kmers = []
         entries_profiles = []
         entries_positions = []
@@ -259,7 +331,30 @@ class ProfileDB:
             table=table,
         )
         self._kmer_index = (top_residues, index)
+        if cache_path is not None:
+            try:  # best-effort: the index rebuild is always available
+                tmp = cache_path.with_suffix(".tmp.npz")
+                np.savez(
+                    tmp,
+                    sorted_kmers=index.sorted_kmers,
+                    profiles=index.profiles,
+                    positions=index.positions,
+                    table=index.table,
+                )
+                tmp.replace(cache_path)
+            except Exception:
+                pass
         return index
+
+    def _index_cache_path(self, top_residues: int) -> Path | None:
+        """On-disk cache path for the k-mer inverted index: the production
+        (227k-profile) index takes ~50 s of argsort per process to build,
+        vs a few seconds to reload (~850 MB uncompressed). Only available
+        when the DB itself was loaded from disk."""
+        src = getattr(self, "_source_path", None)
+        if src is None:
+            return None
+        return src.with_name(src.name + f".kidx{top_residues}.npz")
 
     # -- length bucketing (device layout) -----------------------------------
 

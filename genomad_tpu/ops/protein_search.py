@@ -649,10 +649,12 @@ def search(
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
+                from genomad_tpu.parallel.mesh import put_global
+
                 rep = NamedSharding(mesh, P())
                 padded_queries[qb_i] = (
-                    jax.device_put(arr, rep),
-                    jax.device_put(qlen_pad, rep),
+                    put_global(arr, rep),
+                    put_global(qlen_pad, rep),
                 )
             else:
                 padded_queries[qb_i] = (jnp.asarray(arr), jnp.asarray(qlen_pad))
@@ -710,10 +712,12 @@ def search(
             arr[: len(ids), :, :N_AA] = np.where(
                 mask[:, :, None], db.pssm[np.minimum(rows, db.offsets[-1] - 1)], 0.0
             )
+            from genomad_tpu.parallel.mesh import put_global
+
             cache[key] = (
                 ids,
                 p_loc,
-                jax.device_put(arr, NamedSharding(mesh, P("db"))),
+                put_global(arr, NamedSharding(mesh, P("db"))),
             )
         return cache[key]
 
@@ -1003,7 +1007,7 @@ def _pair_cov_host(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("mesh",))
+@functools.partial(jax.jit, static_argnames=("mesh", "replicate_out"))
 def _sharded_pair_stats_program(
     mesh,
     all_q: jnp.ndarray,
@@ -1011,6 +1015,7 @@ def _sharded_pair_stats_program(
     p_stack: jnp.ndarray,
     idx_stack: jnp.ndarray,
     ka: jnp.ndarray,
+    replicate_out: bool = False,
 ):
     """ONE jitted (data x db)-sharded SW program: queries replicate, the
     profile DB shards over 'db' (the native replacement for MMseqs2's
@@ -1023,7 +1028,11 @@ def _sharded_pair_stats_program(
     all_q: (NQ, Lq) replicated; qlen: (NQ,) replicated;
     p_stack: (n_db * P_loc, Lp, 21) sharded on 'db';
     idx_stack: (n_data, n_db, 2, N) per-device (query row, local profile
-    row). Returns (n_data, n_db, N, 7) sharded on ('data', 'db').
+    row). Returns (n_data, n_db, N, 7) sharded on ('data', 'db'), or —
+    with ``replicate_out`` (multi-host mode) — all-gathered to every
+    device so EVERY process can read the full stats tensor locally (a
+    sharded output is not addressable across hosts; the gathered stats
+    are small relative to the alignment work).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -1035,13 +1044,17 @@ def _sharded_pair_stats_program(
         ql = jnp.take(qlen, idx[0]).astype(jnp.float32)
         ev, qcov = _gate_cols(stats[:, 0], stats[:, 1], stats[:, 3], ql, ka)
         out = jnp.concatenate([stats, ev[:, None], qcov[:, None]], axis=1)
-        return out[None, None]
+        out = out[None, None]
+        if replicate_out:
+            out = jax.lax.all_gather(out, "data", axis=0, tiled=True)
+            out = jax.lax.all_gather(out, "db", axis=1, tiled=True)
+        return out
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P("db"), P("data", "db"), P()),
-        out_specs=P("data", "db"),
+        out_specs=P() if replicate_out else P("data", "db"),
         check_vma=False,
     )(all_q, qlen, p_stack, idx_stack, ka)
 
@@ -1058,9 +1071,15 @@ def _pair_stats_sharded(
 ):
     """(N, 7) per-pair SW stats on a (data, db) mesh: pairs route to the
     device owning their profile's db-shard, balanced round-robin over the
-    'data' axis; results scatter back into input-pair order on the host."""
+    'data' axis; results scatter back into input-pair order on the host.
+    On a multi-process (pod) mesh the program all-gathers its output so
+    every host reads identical stats and the host-side merge stays
+    deterministic across processes."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from genomad_tpu.parallel.mesh import put_global
+
+    multihost = jax.process_count() > 1
     n_data = mesh.shape.get("data", 1)
     n_db = mesh.shape.get("db", 1)
     N = len(pairs_q)
@@ -1103,10 +1122,11 @@ def _pair_stats_sharded(
                     all_q_dev,
                     qlen_dev,
                     arr_dev,
-                    jax.device_put(
+                    put_global(
                         idx_stack, NamedSharding(mesh, P("data", "db"))
                     ),
-                    jnp.asarray(ka),
+                    put_global(np.asarray(ka), NamedSharding(mesh, P())),
+                    replicate_out=multihost,
                 )
                 pending.append((placement, stats_dev))
     for placement, stats_dev in pending:

@@ -53,7 +53,12 @@ def initialize_distributed() -> bool:
     global across hosts so the (data, db) mesh spans the pod — db shards
     ride ICI within a slice, the data axis crosses hosts over DCN
     (SURVEY §2.5). A no-op on a single host. Returns True when
-    distributed mode was initialized."""
+    distributed mode was initialized.
+
+    On TPU pods ``jax.distributed.initialize()`` auto-detects the cluster;
+    for generic clusters (and the 2-process CPU smoke test) the explicit
+    coordinates come from GENOMAD_TPU_COORDINATOR (host:port),
+    GENOMAD_TPU_NUM_PROCESSES and GENOMAD_TPU_PROCESS_ID."""
     import os
 
     if not (
@@ -62,8 +67,30 @@ def initialize_distributed() -> bool:
         or os.environ.get("COORDINATOR_ADDRESS")
     ):
         return False
-    jax.distributed.initialize()
+    kwargs = {}
+    if os.environ.get("GENOMAD_TPU_COORDINATOR"):
+        kwargs = dict(
+            coordinator_address=os.environ["GENOMAD_TPU_COORDINATOR"],
+            num_processes=int(os.environ["GENOMAD_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["GENOMAD_TPU_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kwargs)
     return True
+
+
+def put_global(arr, sharding):
+    """``jax.device_put`` that also works when the sharding spans devices of
+    OTHER processes (multi-host): every process holds the full host value
+    and contributes just its addressable shards. Single-process shardings
+    take the plain device_put fast path."""
+    if all(
+        d.process_index == jax.process_index() for d in sharding.device_set
+    ):
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -119,6 +119,43 @@ def test_expansion_recall_grows_with_sensitivity(rng):
     assert hits_by_s[8.2] > hits_by_s[1.0]
 
 
+def test_native_int8_scan_matches_f32(lib, rng):
+    """On an integral-score DB (the shape of real profile databases) the
+    native engine auto-selects the int8 scan; scores and ordering must be
+    BIT-EQUAL to the f32 reference paths — int32 accumulation over int8
+    rows is exact for integral values."""
+    db = ProfileDB.synthetic(
+        seed=19, n_profiles=60, min_len=60, max_len=150, integral=True
+    )
+    assert db.pssm_i8 is not None  # integral DB -> int8 path active
+    index = db.kmer_index(1)
+    from genomad_tpu.ops.blosum import kmer_score_threshold
+
+    for kmer_thr in (None, kmer_score_threshold(4.2)):
+        for target in (0, 29, 59):
+            residues = db.consensus(target)[:90]
+            expected = protein_search.prefilter_query(
+                residues, db, index, 25.0, kmer_thr=kmer_thr
+            )
+            got = native.native_prefilter_query(
+                index, residues, db, 25.0, kmer_thr=kmer_thr
+            )
+            assert got is not None
+            if kmer_thr is None:
+                assert_cands_equal(got, expected)
+                # integral values: scores agree EXACTLY, not just rtol
+                by_exp = dict(zip(expected[0].tolist(), expected[1].tolist()))
+                for pid, s in zip(got[0].tolist(), got[1].tolist()):
+                    assert s == by_exp[pid]
+            else:
+                assert set(got[0]) <= set(expected[0])
+                assert target in got[0]
+
+    # non-integral DB keeps the f32 scan (no quantization ever)
+    db_f = ProfileDB.synthetic(seed=19, n_profiles=10, min_len=60, max_len=90)
+    assert db_f.pssm_i8 is None
+
+
 def test_native_handles_unknown_residues(lib):
     db = ProfileDB.synthetic(seed=5, n_profiles=20, min_len=60, max_len=100)
     index = db.kmer_index(1)

@@ -88,6 +88,47 @@ def test_upstream_score_offset_mapping():
     assert pm.upstream_score(ti, "A" * 43) == 0.0
 
 
+def test_vectorized_scoring_matches_scalar(rng):
+    """The array scoring kernels behind _call_genes_with_tables must agree
+    with the retained scalar reference functions on random sequences:
+    candidate enumeration, SD bins, motif maxima, upstream composition."""
+    ti = pm.TrainingInfo(gc=0.5, translation_table=11)
+    ti.upstream_compositions = rng.normal(size=(32, 4))
+    ti.motif_weights = rng.normal(size=(4, 4, 4096))
+    ti.no_motif_weight = -1.5
+    seq = "".join(rng.choice(list("ACGTN"), 3000, p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+    upper = seq.upper()
+    codes = gc._BASE_LUT[np.frombuffer(upper.encode(), np.uint8)]
+
+    # candidate enumeration: arrays == generator, in order
+    got = list(zip(*(a.tolist() for a in gc._candidate_arrays(seq, 11))))
+    want = [
+        (b, e, pb, pe, 3 if st == "Edge" else gc._START_TYPE_IDX[st])
+        for b, e, pb, pe, st in gc._find_orfs(seq, 11)
+    ]
+    assert [(b, e, bool(pb), bool(pe), st) for b, e, pb, pe, st in got] == want
+
+    begins = np.array(sorted({b for b, *_ in want}), np.int64)
+    # SD bins per position == scalar shine_dalgarno_bin on upstream[-20:]
+    sd = pm.sd_bins_at(codes)
+    for b in begins.tolist():
+        upstream = upper[max(0, b - 45): b]
+        assert sd[b] == pm.shine_dalgarno_bin(upstream[-20:]), b
+    # upstream composition == scalar
+    np.testing.assert_allclose(
+        pm.upstream_scores(ti, codes, begins),
+        [pm.upstream_score(ti, upper[max(0, b - 45): b]) for b in begins],
+        rtol=0, atol=1e-9,
+    )
+    # motif maxima (non-SD path) == scalar motif_score incl. the floor
+    mot = np.maximum(pm.motif_best_at(ti, codes), ti.no_motif_weight)
+    np.testing.assert_allclose(
+        mot[begins],
+        [pm.motif_score(ti, upper[max(0, b - 45): b]) for b in begins],
+        rtol=0, atol=1e-12,
+    )
+
+
 def _hexamer_table_for(proteins: list[str]) -> np.ndarray:
     """A gene_dc table that rewards exactly the given proteins' codons."""
     from tests.test_gene_calling import reverse_translate

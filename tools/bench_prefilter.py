@@ -1,6 +1,10 @@
-"""Host-prefilter microbenchmark: q/s at a given DB scale.
+"""Host-prefilter microbenchmark — no device needed, fast iteration.
 
-Usage: python tools/bench_prefilter.py [n_profiles] [n_queries]
+Measures the C++ prefilter alone (the search bottleneck at production DB
+scale) over composition-realistic queries. GENOMAD_PREFILTER_STATS=1 for
+the per-stage breakdown.
+
+Usage: python tools/bench_prefilter.py [n_profiles] [n_queries] [n_threads]
 """
 
 from __future__ import annotations
@@ -14,96 +18,68 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from genomad_tpu import native  # noqa: E402
-from genomad_tpu.ops import blosum, profiledb  # noqa: E402
-from genomad_tpu.ops.profiledb import ALPHABET, N_AA, ProfileDB  # noqa: E402
+from genomad_tpu.ops.blosum import kmer_score_threshold  # noqa: E402
+from genomad_tpu.ops.profiledb import N_AA, ProfileDB  # noqa: E402
 
 
 def load_db(n_profiles: int) -> ProfileDB:
-    cache = Path(f"/tmp/genomad_tpu_bench_db_bg_{n_profiles}.npz")
-    if cache.exists():
-        return ProfileDB.load(cache)
     from genomad_tpu.ops.statistics import BACKGROUND_FREQS
 
+    cache = Path(f"/tmp/genomad_tpu_bench_db_int_{n_profiles}.npz")
+    if cache.exists():
+        return ProfileDB.load(cache)
     db = ProfileDB.synthetic(
         seed=1, n_profiles=n_profiles, min_len=60, max_len=400,
-        residue_freqs=BACKGROUND_FREQS,
+        residue_freqs=BACKGROUND_FREQS, integral=True,
     )
     db.save(cache)
     return db
 
 
-def make_queries(db: ProfileDB, n_queries: int, seed: int = 0):
-    rng = np.random.default_rng(seed)
-    seqs = []
+def make_queries(db: ProfileDB, n_queries: int):
+    rng = np.random.default_rng(0)
+    out = []
     for qi in range(n_queries):
         if qi % 5 < 3:
-            target = int(rng.integers(0, db.n_profiles))
-            seq = db.consensus(target).copy()
+            seq = db.consensus(int(rng.integers(0, db.n_profiles))).copy()
             pos = rng.choice(len(seq), len(seq) // 10, replace=False)
             seq[pos] = rng.integers(0, N_AA, len(pos))
         else:
-            seq = rng.integers(0, N_AA, int(rng.integers(60, 400)))
-        seqs.append("".join(ALPHABET[r] for r in seq))
-    return seqs
+            seq = rng.integers(0, N_AA, int(rng.integers(60, 400))).astype(np.int8)
+        out.append(seq.astype(np.int8))
+    return out
 
 
-def main(n_profiles: int = 20_000, n_queries: int = 500) -> None:
+def main(n_profiles: int = 227_897, n_queries: int = 200, n_threads: int = 2):
     t0 = time.perf_counter()
     db = load_db(n_profiles)
-    print(f"DB: {db.n_profiles} profiles, {db.total_positions:,} positions "
-          f"({time.perf_counter() - t0:.1f}s)", flush=True)
+    print(f"DB load: {time.perf_counter()-t0:.1f}s "
+          f"({db.n_profiles} profiles, {db.total_positions:,} positions)")
     t0 = time.perf_counter()
     index = db.kmer_index(1)
-    print(f"k-mer index: {time.perf_counter() - t0:.1f}s "
-          f"({len(index.profiles):,} entries)", flush=True)
-    seqs = make_queries(db, n_queries)
-    residues_list = [profiledb.encode_protein(s) for s in seqs]
-    total_aa = sum(len(r) for r in residues_list)
-    kmer_thr = blosum.kmer_score_threshold(4.2)
-    # warm the expansion product tables
-    native.native_prefilter_batch(
-        index, residues_list[:2], db, 25.0, kmer_thr=kmer_thr,
-        max_out_per_query=db.n_profiles,
-    )
+    print(f"index: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    _ = db.pssm_i8
+    print(f"int8 copy (+hugepage advise): {time.perf_counter()-t0:.1f}s "
+          f"({'active' if db.pssm_i8 is not None else 'UNAVAILABLE'})")
+    queries = make_queries(db, n_queries)
+    thr = kmer_score_threshold(4.2)
+    # warmup (expansion tables build once)
+    native.native_prefilter_batch(index, queries[:4], db, 25.0,
+                                  kmer_thr=thr, n_threads=n_threads)
     t0 = time.perf_counter()
     result = native.native_prefilter_batch(
-        index, residues_list, db, 25.0, kmer_thr=kmer_thr,
-        max_out_per_query=db.n_profiles,
+        index, queries, db, 25.0, kmer_thr=thr, n_threads=n_threads
     )
-    dt = time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
     assert result is not None
-    ids_list, _, dropped = result
-    counts = np.array([len(x) for x in ids_list])
-    planted = sum(1 for qi in range(n_queries) if qi % 5 < 3)
-    rng = np.random.default_rng(0)
-    found = 0
-    for qi in range(n_queries):
-        if qi % 5 < 3:
-            target = int(rng.integers(0, db.n_profiles))
-            rng.choice(counts.max() or 1, 1)  # keep RNG stream aligned: consume
-    # recall check via fresh generation (mirrors make_queries stream)
-    rng = np.random.default_rng(0)
-    for qi in range(n_queries):
-        if qi % 5 < 3:
-            target = int(rng.integers(0, db.n_profiles))
-            seq = db.consensus(target).copy()
-            pos = rng.choice(len(seq), len(seq) // 10, replace=False)
-            seq[pos] = rng.integers(0, N_AA, len(pos))
-            if target in ids_list[qi]:
-                found += 1
-        else:
-            rng.integers(0, N_AA, int(rng.integers(60, 400)))
+    n_cands = sum(len(ids) for ids in result[0])
     print(
-        f"prefilter: {dt:.2f}s = {n_queries / dt:.1f} q/s = "
-        f"{total_aa / dt / 1e3:.1f} kaa/s; cands/query p50={np.median(counts):.0f} "
-        f"mean={counts.mean():.0f} max={counts.max()}; "
-        f"planted recall {found}/{planted}; dropped={dropped}",
-        flush=True,
+        f"{n_queries} queries, {n_threads} threads: {elapsed:.2f}s = "
+        f"{n_queries/elapsed:.1f} q/s ({elapsed/n_queries*1e3:.1f} ms/q wall), "
+        f"{n_cands/n_queries:.0f} selected/q"
     )
 
 
 if __name__ == "__main__":
-    main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 20_000,
-        int(sys.argv[2]) if len(sys.argv) > 2 else 500,
-    )
+    main(*(int(a) for a in sys.argv[1:]))

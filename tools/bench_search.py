@@ -23,7 +23,7 @@ from genomad_tpu.ops.profiledb import ALPHABET, N_AA, ProfileDB  # noqa: E402
 def main(n_profiles: int = 20_000, n_queries: int = 500) -> None:
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    cache = Path(f"/tmp/genomad_tpu_bench_db_bg_{n_profiles}.npz")
+    cache = Path(f"/tmp/genomad_tpu_bench_db_int_{n_profiles}.npz")
     if cache.exists():
         db = ProfileDB.load(cache)
         src = f"loaded from {cache}"
@@ -31,13 +31,15 @@ def main(n_profiles: int = 20_000, n_queries: int = 500) -> None:
         from genomad_tpu.ops.statistics import BACKGROUND_FREQS
 
         # background consensus composition: representative of real profile
-        # DBs (uniform would inflate similar-k-mer expansion ~25x)
+        # DBs (uniform would inflate similar-k-mer expansion ~25x); integer
+        # scores: the shape of real profile DBs, exercising the int8 scan
         db = ProfileDB.synthetic(
             seed=1,
             n_profiles=n_profiles,
             min_len=60,
             max_len=400,
             residue_freqs=BACKGROUND_FREQS,
+            integral=True,
         )
         db.save(cache)
         src = "built"
