@@ -81,6 +81,8 @@ class _Reader:
     def value(self, marker: int | None = None):
         if marker is None:
             marker = self.byte()
+        while marker == ord("N"):  # UBJSON no-op: valid wherever a value is
+            marker = self.byte()
         if marker in _INT_TYPES or marker in _FLOAT_TYPES:
             return self.scalar(marker)
         if marker == ord("S"):
@@ -121,6 +123,9 @@ class _Reader:
             return [self.value() for _ in range(count)]
         out = []
         while self.peek() != ord("]"):
+            if self.peek() == ord("N"):
+                self.byte()
+                continue
             out.append(self.value())
         self.byte()
         return out
@@ -137,9 +142,16 @@ class _Reader:
         out = {}
         if count is not None:
             for _ in range(count):
-                out[self.string()] = self.value(item_type)
+                # key must be read BEFORE the value: Python evaluates the
+                # RHS of ``out[k] = v`` first, so a single-expression form
+                # parsed count-optimized objects value-before-key
+                key = self.string()
+                out[key] = self.value(item_type)
             return out
         while self.peek() != ord("}"):
+            if self.peek() == ord("N"):
+                self.byte()
+                continue
             key = self.string()
             out[key] = self.value()
         self.byte()
