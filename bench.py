@@ -219,12 +219,14 @@ def bench_end_to_end(total_mbp: float = 2.0, n_profiles: int = 227_897) -> dict:
     metric: Mbp/s classified per chip, BASELINE.json)."""
     from genomad_tpu.cli import run_end_to_end
 
-    db = _bench_db(n_profiles)
     records, total_bp = _synthetic_genome(total_mbp, seed=11)
-    tmp = Path(tempfile.mkdtemp(prefix="genomad_bench_e2e_"))
-    try:
-        db_dir = tmp / "genomad_db"
-        db_dir.mkdir()
+    # the DB directory persists across bench invocations (and rounds): the
+    # 227k-scale npz write + k-mer index build cost minutes, and the
+    # on-disk index cache next to the npz only pays off if the npz stays
+    db_dir = Path(f"/tmp/genomad_bench_db_dir_{n_profiles}")
+    if not (db_dir / "genomad_marker_metadata.tsv").exists():
+        db = _bench_db(n_profiles)
+        db_dir.mkdir(exist_ok=True)
         (db_dir / "version.txt").write_text("1.9\n")
         db.save(db_dir / "genomad_profiles.npz")
         db.save(db_dir / "genomad_mini_profiles.npz")
@@ -237,6 +239,12 @@ def bench_end_to_end(total_mbp: float = 2.0, n_profiles: int = 227_897) -> dict:
             ["marker", "c1", "class", "c3", "spm_c", "spm_p", "spm_v", "gv",
              "uscg", "ph", "vh", "conjscan", "amr", "acc", "desc", "t1", "t2"]
         )
+        with open(db_dir / "nodes.dmp", "w") as f:
+            for t, p, r in [(1, 1, "no rank"), (10, 1, "realm")]:
+                f.write(f"{t}\t|\t{p}\t|\t{r}\t|\n")
+        with open(db_dir / "names.dmp", "w") as f:
+            for t, n in [(1, "root"), (10, "Duplodnaviria")]:
+                f.write(f"{t}\t|\t{n}\t|\t\t|\tscientific name\t|\n")
         with open(db_dir / "genomad_marker_metadata.tsv", "w") as f:
             f.write(header + "\n")
             for i, name in enumerate(db.names):
@@ -246,12 +254,8 @@ def bench_end_to_end(total_mbp: float = 2.0, n_profiles: int = 227_897) -> dict:
                     f"{name}\tx\t{spec}\tx\t{spm[0]}\t{spm[1]}\t{spm[2]}\t0\tNA\t0\t"
                     f"{1 if i % 2 else 0}\tNA\tNA\tPF{i:05d}\tdesc{i}\tx\tx\n"
                 )
-        with open(db_dir / "nodes.dmp", "w") as f:
-            for t, p, r in [(1, 1, "no rank"), (10, 1, "realm")]:
-                f.write(f"{t}\t|\t{p}\t|\t{r}\t|\n")
-        with open(db_dir / "names.dmp", "w") as f:
-            for t, n in [(1, "root"), (10, "Duplodnaviria")]:
-                f.write(f"{t}\t|\t{n}\t|\t\t|\tscientific name\t|\n")
+    tmp = Path(tempfile.mkdtemp(prefix="genomad_bench_e2e_"))
+    try:
         fasta = tmp / "input.fna"
         with open(fasta, "w") as f:
             for h, s in records:
@@ -302,9 +306,14 @@ def main():
         ("search_20k", lambda: bench_search(20_000)),
         ("search_227k", lambda: bench_search(227_897)),
         ("gene_calling", bench_gene_calling),
+        # 20k e2e: round-over-round continuity; 227k e2e: the
+        # production-representative headline (VERDICT r3 #2)
+        ("end_to_end_20k", lambda: bench_end_to_end(n_profiles=20_000)),
         ("end_to_end", bench_end_to_end),
     ]:
-        if os.environ.get("GENOMAD_BENCH_FAST") and key in ("search_227k", "end_to_end"):
+        if os.environ.get("GENOMAD_BENCH_FAST") and key in (
+            "search_227k", "end_to_end", "end_to_end_20k",
+        ):
             continue
         try:
             extra[key] = fn()

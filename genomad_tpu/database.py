@@ -13,6 +13,9 @@ from pathlib import Path
 
 from genomad_tpu import utils
 
+# see Database.get_profile_db — (path, mtime) -> loaded ProfileDB
+_PROFILE_DB_CACHE: dict = {}
+
 
 class Database:
     def __init__(self, database_directory: Path) -> None:
@@ -103,7 +106,18 @@ class Database:
                 f"files to pack it from — run download-database, or build "
                 "it with tools/build_profile_db.py"
             )
-        return ProfileDB.load(path)
+        # In-process cache keyed by (path, mtime): a service classifying
+        # many inputs per process must not reload the multi-GB PSSM — or
+        # lose the ProfileDB-attached device staging (HBM buckets), k-mer
+        # index, and int8 copy — on every module invocation.
+        key = (str(path), path.stat().st_mtime_ns)
+        db = _PROFILE_DB_CACHE.get(key)
+        if db is None:
+            while len(_PROFILE_DB_CACHE) >= 4:
+                _PROFILE_DB_CACHE.pop(next(iter(_PROFILE_DB_CACHE)))
+            db = ProfileDB.load(path)
+            _PROFILE_DB_CACHE[key] = db
+        return db
 
     def get_marker_annotation(self) -> dict:
         """marker -> (uscg, plasmid_hallmark, virus_hallmark, conjscan, amr,

@@ -139,7 +139,6 @@ def native_prefilter_batch(
     code_table = np.ascontiguousarray(index.table, np.int32)
     entry_profiles = np.ascontiguousarray(index.profiles, np.int32)
     entry_positions = np.ascontiguousarray(index.positions, np.int32)
-    pssm = np.ascontiguousarray(db.pssm, np.float32)
     offsets = np.ascontiguousarray(db.offsets, np.int64)
     lengths = np.ascontiguousarray(db.lengths, np.int32)
     n_queries = len(residues_list)
@@ -156,7 +155,7 @@ def native_prefilter_batch(
         _ptr(residues, ctypes.c_int8),
         _ptr(residue_offsets, ctypes.c_int64),
         n_queries,
-        _ptr(pssm, ctypes.c_float),
+        _pssm_f32_arg(db),
         _pssm8_arg(db),
         _ptr(offsets, ctypes.c_int64),
         _ptr(lengths, ctypes.c_int32),
@@ -173,6 +172,17 @@ def native_prefilter_batch(
     ids = [out[q, : written[q]].copy() for q in range(n_queries)]
     scores = [out_scores[q, : written[q]].copy() for q in range(n_queries)]
     return ids, scores, dropped
+
+
+def _pssm_f32_arg(db):
+    """f32-PSSM ctypes arg — NULL when the int8 copy is active (the C scan
+    then never dereferences the f32 matrix, so the lazy multi-GB float
+    PSSM is never materialized on the production path)."""
+    if db.pssm_i8 is not None:
+        return ctypes.POINTER(ctypes.c_float)()
+    pssm = np.ascontiguousarray(db.pssm, np.float32)
+    _pssm_f32_arg._keepalive = pssm  # pin until the call returns
+    return _ptr(pssm, ctypes.c_float)
 
 
 def _pssm8_arg(db):
@@ -218,7 +228,6 @@ def native_prefilter_query(
     code_table = np.ascontiguousarray(index.table, np.int32)
     entry_profiles = np.ascontiguousarray(index.profiles, np.int32)
     entry_positions = np.ascontiguousarray(index.positions, np.int32)
-    pssm = np.ascontiguousarray(db.pssm, np.float32)
     offsets = np.ascontiguousarray(db.offsets, np.int64)
     lengths = np.ascontiguousarray(db.lengths, np.int32)
     out = np.zeros(max_out, np.int32)
@@ -232,7 +241,7 @@ def native_prefilter_query(
         len(codes),
         _ptr(residues, ctypes.c_int8),
         len(residues),
-        _ptr(pssm, ctypes.c_float),
+        _pssm_f32_arg(db),
         _pssm8_arg(db),
         _ptr(offsets, ctypes.c_int64),
         _ptr(lengths, ctypes.c_int32),

@@ -596,12 +596,39 @@ static int64_t prefilter_query_impl(
                         g, _mm512_loadu_si512(
                                reinterpret_cast<const void*>(qvalid + t0)));
                     g = _mm512_maskz_mov_epi32(m, g);
-                    _mm512_store_si512(buf, g);
-                    for (int k = 0; k < 16; ++k) {
-                        running += buf[k];
-                        if (running < 0) running = 0;
-                        if (running > best) best = running;
+                    // Kadane as a max-plus prefix scan: each element is the
+                    // affine-max map f(r) = max(r + s, 0), i.e. the pair
+                    // (a, b) = (s, 0) under f(r) = max(r + a, b); maps
+                    // compose associatively as (a1+a2, max(b1+a2, b2)), so
+                    // a 4-step Hillis-Steele scan replaces the 16-step
+                    // serial dependency chain of the scalar loop.
+                    const __m512i NEG = _mm512_set1_epi32(-(1 << 28));
+                    __m512i A = g, B = _mm512_setzero_si512();
+                    {
+                        __m512i As, Bs;
+                        As = _mm512_alignr_epi32(A, _mm512_setzero_si512(), 15);
+                        Bs = _mm512_alignr_epi32(B, NEG, 15);
+                        B = _mm512_max_epi32(_mm512_add_epi32(Bs, A), B);
+                        A = _mm512_add_epi32(As, A);
+                        As = _mm512_alignr_epi32(A, _mm512_setzero_si512(), 14);
+                        Bs = _mm512_alignr_epi32(B, NEG, 14);
+                        B = _mm512_max_epi32(_mm512_add_epi32(Bs, A), B);
+                        A = _mm512_add_epi32(As, A);
+                        As = _mm512_alignr_epi32(A, _mm512_setzero_si512(), 12);
+                        Bs = _mm512_alignr_epi32(B, NEG, 12);
+                        B = _mm512_max_epi32(_mm512_add_epi32(Bs, A), B);
+                        A = _mm512_add_epi32(As, A);
+                        As = _mm512_alignr_epi32(A, _mm512_setzero_si512(), 8);
+                        Bs = _mm512_alignr_epi32(B, NEG, 8);
+                        B = _mm512_max_epi32(_mm512_add_epi32(Bs, A), B);
+                        A = _mm512_add_epi32(As, A);
                     }
+                    const __m512i vrun = _mm512_max_epi32(
+                        _mm512_add_epi32(_mm512_set1_epi32(running), A), B);
+                    const int32_t m0 = _mm512_reduce_max_epi32(vrun);
+                    if (m0 > best) best = m0;
+                    running = _mm_extract_epi32(
+                        _mm512_extracti32x4_epi32(vrun, 3), 3);
                 }
 #else
                 for (int64_t t = q_lo; t < q_hi; ++t) {

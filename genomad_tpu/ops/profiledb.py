@@ -91,22 +91,43 @@ def encode_kmers(residues: np.ndarray, k: int = KMER_K) -> np.ndarray:
     return np.where(valid, codes, -1)
 
 
-@dataclass
 class ProfileDB:
-    names: np.ndarray  # (P,) unicode
-    lengths: np.ndarray  # (P,) int32
-    taxids: np.ndarray  # (P,) int32
-    pssm: np.ndarray  # (total, 20) float32
-    offsets: np.ndarray  # (P+1,) int64
-    # Karlin-Altschul parameters fitted to THIS database's null score
-    # distribution (ops.statistics.calibrate_db); None = use the generic
-    # BLOSUM62 fallback constants in ops.protein_search.
-    ka_lambda: float | None = None
-    ka_k: float | None = None
+    """Packed profile database.
 
-    def __post_init__(self):
+    Fields: names (P,) unicode; lengths (P,) int32; taxids (P,) int32;
+    pssm (total, 20) float32; offsets (P+1,) int64; ka_lambda/ka_k —
+    Karlin-Altschul parameters fitted to THIS database's null score
+    distribution (ops.statistics.calibrate_db); None = the generic
+    BLOSUM62 fallback constants in ops.protein_search.
+
+    ``pssm`` may be passed as a zero-arg callable: the f32 matrix then
+    loads lazily on first access. The production cold path never touches
+    it — the prefilter scans the int8 sidecar (pssm_i8) and device
+    staging assembles buckets from the same int8 copy — so a disk-cached
+    DB skips decompressing the multi-GB float PSSM entirely.
+    """
+
+    def __init__(self, names, lengths, taxids, pssm, offsets,
+                 ka_lambda: float | None = None, ka_k: float | None = None):
+        self.names = names
+        self.lengths = lengths
+        self.taxids = taxids
+        self._pssm = pssm
+        self.offsets = offsets
+        self.ka_lambda = ka_lambda
+        self.ka_k = ka_k
         self._kmer_index = None
         self._buckets = None
+
+    @property
+    def pssm(self) -> np.ndarray:
+        if callable(self._pssm):
+            self._pssm = self._pssm()
+        return self._pssm
+
+    @pssm.setter
+    def pssm(self, value) -> None:
+        self._pssm = value
 
     @property
     def n_profiles(self) -> int:
@@ -131,6 +152,27 @@ class ProfileDB:
         cached = self.__dict__.get("_pssm_i8_cache", False)
         if cached is not False:
             return cached
+        size = self.total_positions * N_AA
+        src = getattr(self, "_source_path", None)
+        disk = src.with_name(src.name + ".i8.npy") if src is not None else None
+        if (
+            disk is not None
+            and disk.exists()
+            and disk.stat().st_mtime >= src.stat().st_mtime
+        ):
+            # sidecar hit: the lazy f32 PSSM is never materialized
+            try:
+                flat = np.load(disk, allow_pickle=False)
+                if flat.dtype == np.int8 and flat.size == size + 64:
+                    result = flat[:size].reshape(self.total_positions, N_AA)
+                    _advise_hugepages(flat)
+                    self.__dict__["_pssm_i8_cache"] = result
+                    return result
+                if flat.dtype == np.int8 and flat.size == 1:  # non-integral marker
+                    self.__dict__["_pssm_i8_cache"] = None
+                    return None
+            except Exception:
+                pass  # corrupt cache: recompute below
         p = self.pssm
         # chunked single-pass check: whole-array np.abs/np.trunc would
         # allocate ~2x the 4 GB production PSSM in temporaries and read it
@@ -149,10 +191,20 @@ class ProfileDB:
             # (collapse-after-fill waits on khugepaged).
             flat = np.empty(p.size + 64, np.int8)
             _advise_hugepages(flat)
+            flat[p.size :] = 0
             result = flat[: p.size].reshape(p.shape)
             np.copyto(result, p, casting="unsafe")
         else:
+            flat = np.zeros(1, np.int8)  # marker: checked, non-integral
             result = None
+        if disk is not None:
+            try:  # best-effort disk cache (integrality check + copy cost
+                # tens of seconds per cold process on a production PSSM)
+                tmp = disk.with_suffix(".tmp.npy")
+                np.save(tmp, flat)
+                tmp.replace(disk)
+            except Exception:
+                pass
         self.__dict__["_pssm_i8_cache"] = result
         return result
 
@@ -174,18 +226,27 @@ class ProfileDB:
 
     @classmethod
     def load(cls, path: Path) -> "ProfileDB":
+        path = Path(path)
+
+        def load_pssm() -> np.ndarray:
+            with np.load(path, allow_pickle=False) as npz:
+                return npz["pssm"].astype(np.float32)
+
         with np.load(path, allow_pickle=False) as npz:
             ka = npz["ka_stats"] if "ka_stats" in npz else (None, None)
             db = cls(
                 names=npz["names"],
                 lengths=npz["lengths"].astype(np.int32),
                 taxids=npz["taxids"].astype(np.int32),
-                pssm=npz["pssm"].astype(np.float32),
+                # lazy: decompressing the multi-GB float PSSM costs ~a
+                # minute at production scale and the int8/index sidecar
+                # caches make it unnecessary on the hot path
+                pssm=load_pssm,
                 offsets=npz["offsets"].astype(np.int64),
                 ka_lambda=None if ka[0] is None else float(ka[0]),
                 ka_k=None if ka[1] is None else float(ka[1]),
             )
-        db._source_path = Path(path)  # enables the on-disk k-mer index cache
+        db._source_path = path  # enables the on-disk sidecar caches
         return db
 
     @classmethod

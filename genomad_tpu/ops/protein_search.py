@@ -490,6 +490,15 @@ def _count_pad(n: int) -> int:
     return _pow2(n) if n <= 4096 else -(-n // 4096) * 4096
 
 
+def _staging_source(db) -> np.ndarray:
+    """Row source for device-bucket assembly: the int8 PSSM copy when the
+    scores are integral (numerically identical after the bucket's dtype
+    conversion, and it spares materializing the lazy multi-GB f32 PSSM on
+    the production cold path), else the f32 matrix."""
+    p8 = db.pssm_i8
+    return p8 if p8 is not None else db.pssm
+
+
 def _staging_dtype(db):
     """Device staging dtype for profile tensors: bf16 only for LARGE
     databases whose scores bf16 represents exactly (integral, |v| <= 127
@@ -685,7 +694,9 @@ def search(
             dtype = _staging_dtype(db)
             arr = np.zeros((_count_pad(len(ids)), Lp, N_AA + 1), dtype)
             arr[: len(ids), :, :N_AA] = np.where(
-                mask[:, :, None], db.pssm[np.minimum(rows, db.offsets[-1] - 1)], 0.0
+                mask[:, :, None],
+                _staging_source(db)[np.minimum(rows, db.offsets[-1] - 1)],
+                0,
             )
             cache[pb_i] = (ids, jnp.asarray(arr))
         return cache[pb_i]
@@ -710,7 +721,9 @@ def search(
             rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
             mask = np.arange(Lp)[None, :] < lens[:, None]
             arr[: len(ids), :, :N_AA] = np.where(
-                mask[:, :, None], db.pssm[np.minimum(rows, db.offsets[-1] - 1)], 0.0
+                mask[:, :, None],
+                _staging_source(db)[np.minimum(rows, db.offsets[-1] - 1)],
+                0,
             )
             from genomad_tpu.parallel.mesh import put_global
 
