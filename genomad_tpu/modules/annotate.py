@@ -40,7 +40,7 @@ def default_search_mesh():
     return meshlib.make_mesh(n_data=n_data, n_db=n_db)
 
 
-def run_search(proteins_path, output_path, db, use_minimal_db=False, use_integrase_db=False, sensitivity=4.2, evalue=1e-3, mesh=None):
+def run_search(proteins_path, output_path, db, use_minimal_db=False, use_integrase_db=False, sensitivity=4.2, evalue=1e-3, mesh=None, threads=None):
     """Search a protein FASTA against the packed profile DB and write the
     best-hit TSV (columns: qheader, target, evalue, bits[, taxid] — the
     convertalis contract, genomad/mmseqs2.py:159-174).
@@ -59,7 +59,8 @@ def run_search(proteins_path, output_path, db, use_minimal_db=False, use_integra
     if mesh is None:
         mesh = default_search_mesh()
     hits = protein_search.search(
-        names, seqs, profile_db, sensitivity=sensitivity, evalue_threshold=evalue, mesh=mesh
+        names, seqs, profile_db, sensitivity=sensitivity,
+        evalue_threshold=evalue, mesh=mesh, n_threads=threads,
     )
     with open(output_path, "w") as fout:
         for name in names:
@@ -210,6 +211,7 @@ def main(
                 sensitivity=sensitivity,
                 evalue=evalue,
                 mesh=mesh,
+                threads=threads,
             )
         console.log(
             f"Proteins annotated using the geNomad database (v{database_obj.version}) "

@@ -424,6 +424,7 @@ def main(
             sensitivity=sensitivity,
             evalue=evalue,
             mesh=mesh,
+            threads=threads,
         )
         console.log(f"Integrases written to {outputs.find_proviruses_mmseqs2_output.name}.")
 

@@ -543,6 +543,7 @@ def search(
     db_positions: int | None = None,
     max_seqs: int = 10_000_000,
     max_rejected: int = 280,
+    n_threads: int | None = None,
     _details: bool = False,
 ) -> dict:
     """Full search: prefilter -> batched SW -> coverage filter -> best hit.
@@ -554,6 +555,9 @@ def search(
     (blosum.kmer_score_threshold): higher ``-s`` lowers the bar and grows
     the per-position k-mer lists, exactly MMseqs2's ``-s`` mechanism (the
     integrase search runs at 8.2 — reference cli.py:592-599).
+
+    n_threads: host prefilter worker count (the reference's MMseqs2
+    ``--threads`` analog, genomad/mmseqs2.py:83); None = all available.
 
     max_rejected emulates MMseqs2's ``--max-rejected 280`` pass-1 early
     termination (genomad/mmseqs2.py:120-121): per query, candidates past
@@ -620,6 +624,7 @@ def search(
         result = native.native_prefilter_batch(
             index, res_sub, db, min_ungapped_score,
             kmer_thr=kmer_thr, max_out_per_query=out_bound,
+            n_threads=n_threads,
         )
         if result is None:  # no C++ toolchain: numpy fallback
             cache: dict = {}
