@@ -81,6 +81,51 @@ def test_run_end_to_end(tmp_path, synthetic_db_dir):
     assert got_virus == expected_virus
 
 
+def test_end_to_end_restart_deterministic(tmp_path, synthetic_db_dir):
+    """--restart recomputes to identical scores, and a plain re-run resumes
+    from the execution-info cache — with the NN branch now OVERLAPPING
+    annotate (cli.run_end_to_end), both properties must survive the
+    two-call nn-classification structure (contig pass during overlap,
+    provirus pass after find-proviruses)."""
+    from genomad_tpu.ops.profiledb import ALPHABET
+    from tests.test_gene_calling import make_gene, random_intergenic
+
+    db_dir, db = synthetic_db_dir
+    rng = np.random.default_rng(23)
+    contig = random_intergenic(rng, 60)
+    for p in (1, 3, 5):
+        contig += make_gene(
+            "".join(ALPHABET[r] for r in db.consensus(p))
+        ) + random_intergenic(rng, 30)
+    contig += random_intergenic(rng, 800)
+    input_path = tmp_path / "sample.fna"
+    input_path.write_text(f">c1\n{contig}\n")
+    out_dir = tmp_path / "out"
+    kwargs = dict(
+        verbose=False, skip_trna_identification=True,
+        min_score=0.0, max_fdr=1.0, min_number_genes=0,
+        min_plasmid_marker_enrichment=-100, min_virus_marker_enrichment=-100,
+        min_plasmid_hallmarks=0, min_plasmid_hallmarks_short_seqs=0,
+        min_virus_hallmarks=0, min_virus_hallmarks_short_seqs=0, max_uscg=100,
+    )
+
+    outputs = GenomadOutputs("sample", out_dir)
+    cli.run_end_to_end(input_path, out_dir, db_dir, **kwargs)
+    agg1 = np.load(outputs.aggregated_classification_npz_output)["predictions"]
+
+    cli.run_end_to_end(input_path, out_dir, db_dir, restart=True, **kwargs)
+    agg2 = np.load(outputs.aggregated_classification_npz_output)["predictions"]
+    np.testing.assert_array_equal(agg1, agg2)
+
+    # resume: the nn execution info must mark the run complete so the
+    # second nn call (and a later resume) skip the contig pass
+    mtime = outputs.nn_classification_npz_output.stat().st_mtime_ns
+    cli.run_end_to_end(input_path, out_dir, db_dir, **kwargs)
+    assert outputs.nn_classification_npz_output.stat().st_mtime_ns == mtime
+    agg3 = np.load(outputs.aggregated_classification_npz_output)["predictions"]
+    np.testing.assert_array_equal(agg1, agg3)
+
+
 def test_cli_help_lists_commands():
     runner = CliRunner()
     result = runner.invoke(cli.cli, ["--help"])
