@@ -81,29 +81,22 @@ constexpr int N3 = NAA * NAA * NAA;      // 8000
 constexpr uint32_t DIAG_BITS = 21;       // diag + offset fits in 21 bits
 constexpr uint32_t DIAG_OFF = 1u << 20;  // supports |diag| < 2^20
 
-// Runtime-tunable approximation knobs (read once per process). Both are
-// approximations MMseqs2's exact double-match criterion does not make;
-// tools/prefilter_recall.py measures their candidate-recall cost and
-// PARITY.md records it. Set the env var to 0 to disable the cap.
-//   GENOMAD_PREFILTER_PAIR_DIST (default 32): max query distance between
-//     the two k-mer matches of a double hit — pairs further apart than
-//     the scoring window could not both contribute to the windowed
-//     ungapped score anyway, and dropping them removes the bulk of the
-//     background double-hit noise at production DB scale.
+// Runtime-tunable approximation knob (parsed per call, a few ns, so
+// tools/prefilter_recall.py can toggle it between calls):
 //   GENOMAD_PREFILTER_WINDOW (default 16): extension half-window around
-//     the first double hit (see step 3 comment at the scan below).
+//     the first double hit (see step 3 comment at the scan below); 0 =
+//     full-diagonal scan. A round-4 PAIR_DIST cap (max query distance
+//     between the two hits of a double hit) was REMOVED: measured at
+//     227k scale it pruned only 0.2% of candidates (the last-diagonal
+//     stamp already bounds pairing), cost ~1% candidate recall, and its
+//     qpos field doubled the stamp-table entry — dropping it makes the
+//     double-match criterion distance-uncapped exactly like MMseqs2's
+//     and shrinks the hot tables to 4 B/profile (L2-resident at 227k).
 struct Config {
-    uint32_t pair_dist;
     int64_t window;
 };
-// Parsed per call (a few ns) so tools/prefilter_recall.py can toggle the
-// knobs between calls within one process.
 Config config() {
-    Config c{32, 16};
-    if (const char* v = std::getenv("GENOMAD_PREFILTER_PAIR_DIST")) {
-        long x = std::atol(v);
-        c.pair_dist = x <= 0 ? 0xFFFFFFFFu : static_cast<uint32_t>(x);
-    }
+    Config c{16};
     if (const char* v = std::getenv("GENOMAD_PREFILTER_WINDOW")) {
         long x = std::atol(v);
         c.window = x <= 0 ? (1ll << 40) : x;
@@ -276,19 +269,22 @@ inline float bits_f32(uint32_t u) {
 // --- per-worker scratch (reused across queries) ----------------------------
 
 struct Scratch {
-    // per-profile stamp tables, PACKED so each hit costs one cache access
-    // per table instead of 2-3:
-    //   last[p] = epoch(22b) << 37 | udiag(21b) << 16 | qpos(16b)
-    //     — detects the second hit on a diagonal within pair_dist;
-    //   cand_mark[p] = epoch(22b) << 21 | udiag(21b)
+    // per-profile stamp tables, PACKED to 4 B each so both hot tables
+    // (0.9 MB apiece at 227k profiles) stay L2-resident — the per-hit
+    // random stamp access is the enum loop's dominant cost:
+    //   last[p] = epoch(11b) << 21 | udiag(21b)
+    //     — a repeat of the same value is the second hit on that
+    //       diagonal (MMseqs2's distance-uncapped double-match
+    //       criterion);
+    //   cand_mark[p] = same packing
     //     — deduplicates candidate pushes (only the FIRST double hit of a
     //       (profile, diagonal) pushes; without this a true homologous
     //       diagonal with a run of n matches pushes n-1 duplicates);
-    //   best[p] = epoch(32b) << 32 | f32 bits of the best diagonal score
+    //   best[p] = epoch << 32 | f32 bits of the best diagonal score
     //     — Kadane scores are >= 0, whose f32 bit patterns order
     //       correctly as uint32, so stamp + running max share one slot.
-    std::vector<uint64_t> last;
-    std::vector<uint64_t> cand_mark;
+    std::vector<uint32_t> last;
+    std::vector<uint32_t> cand_mark;
     std::vector<uint64_t> best;
     uint64_t epoch = 0;
     // candidate key (profile << DIAG_BITS | udiag) + first-double-hit qpos
@@ -304,7 +300,7 @@ struct Scratch {
 
     void ensure(int64_t n_profiles) {
         if (static_cast<int64_t>(last.size()) < n_profiles ||
-            epoch >= (1u << 22) - 2) {
+            epoch >= (1u << 11) - 2) {
             last.assign(n_profiles, 0);
             cand_mark.assign(n_profiles, 0);
             best.assign(n_profiles, 0);
@@ -356,11 +352,10 @@ static int64_t prefilter_query_impl(
     Scratch& scratch) {
     const bool expand = tables != nullptr;
     const bool stats = stats_enabled();
-    const uint32_t pair_dist = config().pair_dist;
     scratch.ensure(n_profiles);
     const uint64_t epoch = ++scratch.epoch;
-    uint64_t* last = scratch.last.data();
-    uint64_t* cand_mark = scratch.cand_mark.data();
+    uint32_t* last = scratch.last.data();
+    uint32_t* cand_mark = scratch.cand_mark.data();
     auto& cand = scratch.cand;
     cand.clear();
     int64_t n_hits = 0, n_exp_codes = 0;
@@ -383,22 +378,19 @@ static int64_t prefilter_query_impl(
             const int32_t p = entry_profiles[i];
             const uint32_t udiag = static_cast<uint32_t>(
                 entry_positions[i] - static_cast<int32_t>(q) + DIAG_OFF);
-            const uint64_t key_hi = (epoch << 37) |
-                                    (static_cast<uint64_t>(udiag) << 16);
-            const uint64_t prev = last[p];
-            if ((prev >> 16) == (key_hi >> 16) &&
-                static_cast<uint64_t>(q) - (prev & 0xFFFF) <= pair_dist) {
-                // second match on this diagonal within pair_dist; push
-                // once per (p, diag)
-                const uint64_t mark = (epoch << DIAG_BITS) | udiag;
-                if (cand_mark[p] != mark) {
-                    cand_mark[p] = mark;
+            const uint32_t key =
+                (static_cast<uint32_t>(epoch) << DIAG_BITS) | udiag;
+            if (last[p] == key) {
+                // second match on this diagonal (no distance cap —
+                // MMseqs2's criterion); push once per (p, diag)
+                if (cand_mark[p] != key) {
+                    cand_mark[p] = key;
                     cand.emplace_back(
                         (static_cast<uint64_t>(p) << DIAG_BITS) | udiag,
                         static_cast<uint32_t>(q));
                 }
             } else {
-                last[p] = key_hi | static_cast<uint64_t>(q & 0xFFFF);
+                last[p] = key;
                 if (!expand)
                     cand.emplace_back(
                         (static_cast<uint64_t>(p) << DIAG_BITS) | udiag,

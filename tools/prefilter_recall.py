@@ -1,19 +1,19 @@
 """Measure the native prefilter's candidate recall vs the exact criterion.
 
-The C++ prefilter ships three approximations the exact numpy criterion
-does not make (VERDICT r3 #8, ADVICE r3 #2):
+The C++ prefilter ships two approximations the exact numpy criterion
+does not make (VERDICT r3 #8, ADVICE r3 #2; the round-4 PAIR_DIST
+distance cap was removed — the criterion is distance-uncapped exactly
+like MMseqs2's):
 
   1. epoch-stamped diagonal tables keep only the LAST diagonal per
      profile, so interleaved-diagonal double hits can be missed
      (MMseqs2's own QueryMatcher approximation);
-  2. PAIR_DIST: the two k-mer hits of a double hit must fall within 32
-     query residues of each other;
-  3. W: the ungapped score is a windowed (+-16) extension around the
+  2. W: the ungapped score is a windowed (+-16) extension around the
      first double hit, not the full-diagonal maximum.
 
 This tool measures, on composition-realistic queries at a chosen DB
 scale, candidate-set recall of (a) the full native default and (b) the
-native engine with PAIR_DIST/W uncapped (isolating the stamp-table
+native engine with W uncapped (isolating the stamp-table
 approximation), both against the exact numpy reference
 (protein_search.prefilter_query: exact >=2-hits-per-diagonal criterion +
 full-diagonal max-subarray). Planted-target recall is reported
@@ -82,8 +82,7 @@ def main(n_profiles: int = 20_000, n_queries: int = 24) -> None:
         n_planted_exact += target in exact
         for key, env in (
             ("default", {}),
-            ("uncapped", {"GENOMAD_PREFILTER_PAIR_DIST": "0",
-                          "GENOMAD_PREFILTER_WINDOW": "0"}),
+            ("uncapped", {"GENOMAD_PREFILTER_WINDOW": "0"}),
         ):
             for k, v in env.items():
                 os.environ[k] = v
