@@ -934,6 +934,25 @@ def _max_rejected_mask(seg_q, keep, carry, max_rejected):
     return aligned, new_carry, stopped
 
 
+def _fetch_pending(out: np.ndarray, pending) -> None:
+    """Materialize per-chunk device results into host rows with ONE
+    device->host fetch: the chunks concatenate on device first, so the
+    sync costs one transfer round trip instead of one per chunk — on a
+    tunneled device the per-fetch round-trip latency, not the bytes,
+    dominated stage 2 at small DB scale."""
+    if not pending:
+        return
+    if len(pending) == 1:
+        chunk, dev = pending[0]
+        out[chunk] = np.asarray(dev)[: len(chunk)]
+        return
+    stacked = np.asarray(jnp.concatenate([dev for _, dev in pending], axis=0))
+    base = 0
+    for chunk, dev in pending:
+        out[chunk] = stacked[base : base + len(chunk)]
+        base += dev.shape[0]
+
+
 _MAX_CHUNK = 8192  # pairs per device program call
 
 
@@ -980,8 +999,7 @@ def _pair_fwd_host(
                     all_q_dev, all_p21_dev, qlen_dev, jnp.asarray(idx), ka
                 )
                 pending.append((chunk, stats_dev))
-    for chunk, stats_dev in pending:
-        out[chunk] = np.asarray(stats_dev)[: len(chunk)]
+    _fetch_pending(out, pending)
     return out
 
 
@@ -1020,8 +1038,7 @@ def _pair_cov_host(
                     jnp.asarray(e),
                 )
                 pending.append((chunk, cov_dev))
-    for chunk, cov_dev in pending:
-        out[chunk] = np.asarray(cov_dev)[: len(chunk)]
+    _fetch_pending(out, pending)
     return out
 
 
