@@ -953,16 +953,29 @@ def _fetch_pending(out: np.ndarray, pending) -> None:
         base += dev.shape[0]
 
 
-_MAX_CHUNK = 8192  # pairs per device program call
+_MAX_CHUNK = 8192  # pair-chunk baseline (profile length 512)
+_CHUNK_BYTES = _MAX_CHUNK * 512 * (N_AA + 1) * 4  # gathered-operand budget
 
 
-def _chunk_pad(n: int, total: int) -> int:
+def _chunk_size(Lp: int) -> int:
+    """Pairs per device dispatch for a profile-length bucket: the gathered
+    f32 profile operand is the dominant per-chunk HBM cost, so the chunk
+    count scales inversely with Lp under a fixed ~0.35 GB budget (floor
+    8192, cap 32768). Bigger chunks mean FEWER dispatches per round —
+    each dispatch carries fixed overhead that dominated stage 2 at small
+    DB scale on a tunneled device."""
+    n = max(1, _CHUNK_BYTES // (Lp * (N_AA + 1) * 4))
+    return max(8192, min(32768, 1 << (n.bit_length() - 1)))
+
+
+def _chunk_pad(n: int, total: int, cap: int) -> int:
     """Padded pair count for one dispatch chunk. Production-size rounds
-    (more than one full chunk) always use the single _MAX_CHUNK shape so
-    one compiled program per operand bucket serves the whole search; small
-    searches pad to a power of two (floor 256) to stay cheap on CPU."""
-    if total > _MAX_CHUNK:
-        return _MAX_CHUNK
+    (more than one full chunk) always use the bucket's single ``cap``
+    shape so one compiled program per operand bucket serves the whole
+    search; small searches pad to a power of two (floor 256) to stay
+    cheap on CPU."""
+    if total > cap:
+        return cap
     return max(256, 1 << (max(n, 1) - 1).bit_length())
 
 
@@ -989,9 +1002,10 @@ def _pair_fwd_host(
         for pb_i in np.unique(pb[qb == qb_i]):
             sel = np.where((qb == qb_i) & (pb == pb_i))[0]
             p_ids, all_p21_dev = get_staged_profiles(pb_i)
-            for chunk_start in range(0, len(sel), _MAX_CHUNK):
-                chunk = sel[chunk_start : chunk_start + _MAX_CHUNK]
-                n_pad = _chunk_pad(len(chunk), len(sel))
+            cap = _chunk_size(_BOUNDS[pb_i])
+            for chunk_start in range(0, len(sel), cap):
+                chunk = sel[chunk_start : chunk_start + cap]
+                n_pad = _chunk_pad(len(chunk), len(sel), cap)
                 idx = np.zeros((2, n_pad), np.int32)
                 idx[0, : len(chunk)] = pairs_q[chunk]
                 idx[1, : len(chunk)] = np.searchsorted(p_ids, pairs_p[chunk])
@@ -1025,9 +1039,10 @@ def _pair_cov_host(
         for pb_i in np.unique(pb[qb == qb_i]):
             sel = np.where((qb == qb_i) & (pb == pb_i))[0]
             p_ids, all_p21_dev = get_staged_profiles(pb_i)
-            for chunk_start in range(0, len(sel), _MAX_CHUNK):
-                chunk = sel[chunk_start : chunk_start + _MAX_CHUNK]
-                n_pad = _chunk_pad(len(chunk), len(sel))
+            cap = _chunk_size(_BOUNDS[pb_i])
+            for chunk_start in range(0, len(sel), cap):
+                chunk = sel[chunk_start : chunk_start + cap]
+                n_pad = _chunk_pad(len(chunk), len(sel), cap)
                 idx = np.zeros((2, n_pad), np.int32)
                 idx[0, : len(chunk)] = pairs_q[chunk]
                 idx[1, : len(chunk)] = np.searchsorted(p_ids, pairs_p[chunk])
@@ -1135,8 +1150,9 @@ def _pair_stats_sharded(
             # cell (g, d) gets every n_data-th pair of db-shard d's list —
             # round-robin over 'data' balances uneven shard loads
             cell_width = -(-int(counts.max()) // n_data) if counts.max() else 0
-            for start in range(0, max(cell_width, 1), _MAX_CHUNK):
-                width = min(_MAX_CHUNK, cell_width - start)
+            cell_cap = _chunk_size(_BOUNDS[pb_i])
+            for start in range(0, max(cell_width, 1), cell_cap):
+                width = min(cell_cap, cell_width - start)
                 if width <= 0:
                     break
                 n_pad = _pow2(width, floor=256)
