@@ -51,8 +51,7 @@ def get_library():
     lib.prefilter_batch.restype = ctypes.c_int64
     lib.prefilter_batch.argtypes = [
         ctypes.POINTER(ctypes.c_int32),   # code_table (20^5+1 offsets)
-        ctypes.POINTER(ctypes.c_int32),   # entry_profiles
-        ctypes.POINTER(ctypes.c_int32),   # entry_positions
+        ctypes.POINTER(ctypes.c_int32),   # entry_pairs (interleaved)
         ctypes.c_int64,                   # n_profiles (stamp-table size)
         ctypes.POINTER(ctypes.c_int64),   # query_codes (concat)
         ctypes.POINTER(ctypes.c_int64),   # code_offsets
@@ -75,8 +74,7 @@ def get_library():
     lib.prefilter_query.restype = ctypes.c_int64
     lib.prefilter_query.argtypes = [
         ctypes.POINTER(ctypes.c_int32),   # code_table (20^5+1 offsets)
-        ctypes.POINTER(ctypes.c_int32),   # entry_profiles
-        ctypes.POINTER(ctypes.c_int32),   # entry_positions
+        ctypes.POINTER(ctypes.c_int32),   # entry_pairs (interleaved)
         ctypes.c_int64,                   # n_profiles (stamp-table size)
         ctypes.POINTER(ctypes.c_int64),   # query_codes
         ctypes.c_int64,                   # n_codes
@@ -137,8 +135,7 @@ def native_prefilter_batch(
     residues = np.ascontiguousarray(np.concatenate(residues_list), np.int8)
     codes = np.ascontiguousarray(codes, np.int64)
     code_table = np.ascontiguousarray(index.table, np.int32)
-    entry_profiles = np.ascontiguousarray(index.profiles, np.int32)
-    entry_positions = np.ascontiguousarray(index.positions, np.int32)
+    entry_pairs = np.ascontiguousarray(index.pairs, np.int32)
     offsets = np.ascontiguousarray(db.offsets, np.int64)
     lengths = np.ascontiguousarray(db.lengths, np.int32)
     n_queries = len(residues_list)
@@ -147,8 +144,7 @@ def native_prefilter_batch(
     counts = np.zeros(n_queries, np.int64)
     lib.prefilter_batch(
         _ptr(code_table, ctypes.c_int32),
-        _ptr(entry_profiles, ctypes.c_int32),
-        _ptr(entry_positions, ctypes.c_int32),
+        _ptr(entry_pairs, ctypes.c_int32),
         int(db.n_profiles),
         _ptr(codes, ctypes.c_int64),
         _ptr(code_offsets, ctypes.c_int64),
@@ -226,16 +222,14 @@ def native_prefilter_query(
     codes = np.ascontiguousarray(encode_kmers(residues), np.int64)
     residues = np.ascontiguousarray(residues, np.int8)
     code_table = np.ascontiguousarray(index.table, np.int32)
-    entry_profiles = np.ascontiguousarray(index.profiles, np.int32)
-    entry_positions = np.ascontiguousarray(index.positions, np.int32)
+    entry_pairs = np.ascontiguousarray(index.pairs, np.int32)
     offsets = np.ascontiguousarray(db.offsets, np.int64)
     lengths = np.ascontiguousarray(db.lengths, np.int32)
     out = np.zeros(max_out, np.int32)
     out_scores = np.zeros(max_out, np.float32)
     n = lib.prefilter_query(
         _ptr(code_table, ctypes.c_int32),
-        _ptr(entry_profiles, ctypes.c_int32),
-        _ptr(entry_positions, ctypes.c_int32),
+        _ptr(entry_pairs, ctypes.c_int32),
         int(db.n_profiles),
         _ptr(codes, ctypes.c_int64),
         len(codes),

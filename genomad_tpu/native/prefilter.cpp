@@ -317,7 +317,8 @@ extern "C" {
 // written to out_profiles/out_scores in ungapped-score-descending order;
 // the caller logs total - written as dropped, never silently). Inputs:
 //   code_table: (20^5 + 1) int32 offsets — entries of code c are
-//     [code_table[c], code_table[c+1]) in entry_profiles/entry_positions
+//     [code_table[c], code_table[c+1]) in entry_pairs (interleaved
+//     [profile, position] int32 pairs — one stream, one cache line per hit)
 //   query_codes: Lq-k+1 k-mer codes (-1 = invalid)
 //   residues: Lq int8 residue indices (20 = unknown)
 //   pssm: flat (total_positions, 20) float32
@@ -333,8 +334,7 @@ extern "C" {
 //   out_scores: may be nullptr (scores discarded).
 static int64_t prefilter_query_impl(
     const int32_t* code_table,
-    const int32_t* entry_profiles,
-    const int32_t* entry_positions,
+    const int32_t* entry_pairs,  // interleaved [profile, position]
     int64_t n_profiles,
     const int64_t* query_codes,
     int64_t n_codes,
@@ -374,10 +374,11 @@ static int64_t prefilter_query_impl(
             // the stamp-table access below is the loop's only random
             // memory reference — overlap its L2/DRAM latency with the
             // processing of the preceding hits
-            if (i + 8 < e) __builtin_prefetch(&last[entry_profiles[i + 8]], 1);
-            const int32_t p = entry_profiles[i];
+            if (i + 8 < e)
+                __builtin_prefetch(&last[entry_pairs[2 * (i + 8)]], 1);
+            const int32_t p = entry_pairs[2 * i];
             const uint32_t udiag = static_cast<uint32_t>(
-                entry_positions[i] - static_cast<int32_t>(q) + DIAG_OFF);
+                entry_pairs[2 * i + 1] - static_cast<int32_t>(q) + DIAG_OFF);
             const uint32_t key =
                 (static_cast<uint32_t>(epoch) << DIAG_BITS) | udiag;
             if (last[p] == key) {
@@ -405,13 +406,12 @@ static int64_t prefilter_query_impl(
         const int32_t b = code_table[code], e = code_table[code + 1];
         n_hits += e - b;
         ++n_exp_codes;
-        __builtin_prefetch(&entry_profiles[b]);
-        __builtin_prefetch(&entry_positions[b]);
+        __builtin_prefetch(&entry_pairs[2 * b]);
         if (h2) process_range(p2.b, p2.e, p2.q);
         if (h1) {
             const int32_t lim = std::min(p1.e, p1.b + 8);
             for (int32_t i = p1.b; i < lim; ++i)
-                __builtin_prefetch(&last[entry_profiles[i]], 1);
+                __builtin_prefetch(&last[entry_pairs[2 * i]], 1);
             p2 = p1;
             h2 = true;
         }
@@ -703,8 +703,7 @@ static int64_t prefilter_query_impl(
 
 int64_t prefilter_query(
     const int32_t* code_table,
-    const int32_t* entry_profiles,
-    const int32_t* entry_positions,
+    const int32_t* entry_pairs,  // interleaved [profile, position]
     int64_t n_profiles,
     const int64_t* query_codes,
     int64_t n_codes,
@@ -725,7 +724,7 @@ int64_t prefilter_query(
                                                : nullptr;
     Scratch scratch;
     return prefilter_query_impl(
-        code_table, entry_profiles, entry_positions, n_profiles, query_codes,
+        code_table, entry_pairs, n_profiles, query_codes,
         n_codes, residues, query_length, pssm, pssm8, offsets, lengths,
         min_ungapped_score, tables, out_profiles, out_scores, max_out,
         scratch);
@@ -739,8 +738,7 @@ int64_t prefilter_query(
 // `--threads` knob for this stage (genomad/mmseqs2.py:83).
 int64_t prefilter_batch(
     const int32_t* code_table,
-    const int32_t* entry_profiles,
-    const int32_t* entry_positions,
+    const int32_t* entry_pairs,  // interleaved [profile, position]
     int64_t n_profiles,
     const int64_t* query_codes,      // concatenated
     const int64_t* code_offsets,     // (n_queries+1)
@@ -770,7 +768,7 @@ int64_t prefilter_batch(
             int64_t q = next.fetch_add(1);
             if (q >= n_queries) break;
             out_counts[q] = prefilter_query_impl(
-                code_table, entry_profiles, entry_positions, n_profiles,
+                code_table, entry_pairs, n_profiles,
                 query_codes + code_offsets[q],
                 code_offsets[q + 1] - code_offsets[q],
                 residues + residue_offsets[q],

@@ -326,11 +326,9 @@ class ProfileDB:
             if src is None or cache_path.stat().st_mtime >= src.stat().st_mtime:
                 try:
                     with np.load(cache_path, allow_pickle=False) as npz:
-                        index = _KmerIndex(
-                            sorted_kmers=npz["sorted_kmers"],
-                            profiles=npz["profiles"],
-                            positions=npz["positions"],
-                            table=npz["table"],
+                        index = _KmerIndex.from_arrays(
+                            npz["sorted_kmers"], npz["profiles"],
+                            npz["positions"], npz["table"],
                         )
                     self._kmer_index = (top_residues, index)
                     return index
@@ -385,11 +383,8 @@ class ProfileDB:
         table = np.zeros(n_codes + 1, np.int32)  # int32: halves the random-
         # access footprint in the native DFS (entry counts are << 2^31)
         np.cumsum(np.bincount(sorted_kmers, minlength=n_codes), out=table[1:])
-        index = _KmerIndex(
-            sorted_kmers=sorted_kmers,
-            profiles=profiles[order],
-            positions=positions[order],
-            table=table,
+        index = _KmerIndex.from_arrays(
+            sorted_kmers, profiles[order], positions[order], table
         )
         self._kmer_index = (top_residues, index)
         if cache_path is not None:
@@ -462,9 +457,27 @@ class ProfileDB:
 @dataclass
 class _KmerIndex:
     sorted_kmers: np.ndarray  # (E,) int64, ascending
-    profiles: np.ndarray  # (E,) int32
-    positions: np.ndarray  # (E,) int32
+    profiles: np.ndarray  # (E,) int32 (strided view into ``pairs``)
+    positions: np.ndarray  # (E,) int32 (strided view into ``pairs``)
     table: np.ndarray  # (20^k + 1,) int64 direct offset table
+    # (2E,) int32 INTERLEAVED [profile, position] entries: the native
+    # prefilter's per-hit loop touches one contiguous stream (and one
+    # cache line per entry) instead of two parallel arrays; profiles/
+    # positions above are zero-copy strided views for the numpy paths.
+    pairs: np.ndarray
+
+    @classmethod
+    def from_arrays(cls, sorted_kmers, profiles, positions, table):
+        pairs = np.empty(2 * len(profiles), np.int32)
+        pairs[0::2] = profiles
+        pairs[1::2] = positions
+        return cls(
+            sorted_kmers=sorted_kmers,
+            profiles=pairs[0::2],
+            positions=pairs[1::2],
+            table=table,
+            pairs=pairs,
+        )
 
     def lookup(self, codes: np.ndarray):
         """For each query k-mer code, the range of matching entries.
