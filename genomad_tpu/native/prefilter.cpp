@@ -80,6 +80,10 @@ constexpr int N2 = NAA * NAA;            // 400
 constexpr int N3 = NAA * NAA * NAA;      // 8000
 constexpr uint32_t DIAG_BITS = 21;       // diag + offset fits in 21 bits
 constexpr uint32_t DIAG_OFF = 1u << 20;  // supports |diag| < 2^20
+constexpr int G_MAX = 16;  // queries scanned jointly per group (measured
+// sweep on the 227k DB: G=4 -> 50.7, 8 -> 57.4, 16 -> 59.7, 32 -> 47.7
+// q/s — cross-query window locality grows to G=16, then group working
+// sets and 2-thread work-unit imbalance take over)
 
 // Runtime-tunable approximation knob (parsed per call, a few ns, so
 // tools/prefilter_recall.py can toggle it between calls):
@@ -285,11 +289,13 @@ struct Scratch {
     //       correctly as uint32, so stamp + running max share one slot.
     std::vector<uint32_t> last;
     std::vector<uint32_t> cand_mark;
-    std::vector<uint64_t> best;
-    uint64_t epoch = 0;
-    // candidate key (profile << DIAG_BITS | udiag) + first-double-hit qpos
+    std::vector<uint64_t> best;  // [p * G_MAX + g], group-epoch stamped
+    uint64_t epoch = 0;        // enum-table epoch (per query)
+    uint64_t group_epoch = 0;  // best-table epoch (per group)
+    // candidate key (profile << DIAG_BITS | udiag) + payload
+    // (query-in-group << 24 | first-double-hit qpos)
     std::vector<std::pair<uint64_t, uint32_t>> cand;
-    std::vector<int32_t> sel_ids;  // profiles past min_ungapped_score
+    std::vector<int32_t> sel_ids_g[G_MAX];  // per-query threshold passers
     std::vector<std::pair<uint64_t, uint32_t>> cand_tmp;  // radix scratch
     std::vector<std::pair<float, int32_t>> selected;  // (score, profile)
     // per-query gather operands for the SIMD scan (int8 path):
@@ -300,11 +306,13 @@ struct Scratch {
 
     void ensure(int64_t n_profiles) {
         if (static_cast<int64_t>(last.size()) < n_profiles ||
-            epoch >= (1u << 11) - 2) {
+            epoch >= (1u << 11) - 2 - G_MAX ||
+            group_epoch >= 0xFFFFFFFEull) {
             last.assign(n_profiles, 0);
             cand_mark.assign(n_profiles, 0);
-            best.assign(n_profiles, 0);
+            best.assign(n_profiles * G_MAX, 0);
             epoch = 0;
+            group_epoch = 0;
         }
     }
 };
@@ -313,151 +321,175 @@ struct Scratch {
 
 extern "C" {
 
-// Returns the TOTAL number of selected profiles (min(total, max_out) are
-// written to out_profiles/out_scores in ungapped-score-descending order;
-// the caller logs total - written as dropped, never silently). Inputs:
-//   code_table: (20^5 + 1) int32 offsets — entries of code c are
-//     [code_table[c], code_table[c+1]) in entry_pairs (interleaved
-//     [profile, position] int32 pairs — one stream, one cache line per hit)
-//   query_codes: Lq-k+1 k-mer codes (-1 = invalid)
-//   residues: Lq int8 residue indices (20 = unknown)
-//   pssm: flat (total_positions, 20) float32
-//   pssm8: flat (total_positions, 20) int8 copy of pssm, or nullptr.
-//     Passed only when the PSSM is integral in [-127, 127] (the caller
-//     checks); the scan then runs on int8 rows with int32 accumulation —
-//     bit-equal scores at 4x less memory traffic.
-//   offsets: (P+1) int64 row offsets into pssm
-//   subst/kmer_thr: 20x20 substitution matrix + similar-k-mer score
-//     threshold for query-side k-mer expansion (MMseqs2 ``-s`` semantics);
-//     subst == nullptr or kmer_thr >= 1e30 disables expansion (exact
-//     k-mers only). Mirrors genomad_tpu.ops.blosum.similar_kmers.
-//   out_scores: may be nullptr (scores discarded).
-static int64_t prefilter_query_impl(
+// Per-query view for group processing.
+struct QueryView {
+    const int64_t* codes;
+    int64_t n_codes;
+    const int8_t* residues;
+    int64_t len;
+    int32_t* out_profiles;
+    float* out_scores;  // may be null
+};
+
+// Core engine over a GROUP of up to G_MAX queries. Each query's hits run
+// through the epoch-stamped enum independently (identical results to
+// one-query-at-a-time processing), but the candidates of the whole group
+// radix-order and SCAN TOGETHER: background double hits concentrate on
+// profile regions with common k-mer composition, so consecutive queries
+// touch heavily-overlapping PSSM windows — scanning them adjacently turns
+// repeated DRAM window loads into cache hits. Per-(profile, query) bests
+// live in a G_MAX-strided stamp table so all group members of a profile
+// share one cache line. Writes each query's TOTAL selection count to
+// out_counts[g] (min(total, max_out) rows written, score desc, id asc).
+static void prefilter_group_impl(
     const int32_t* code_table,
     const int32_t* entry_pairs,  // interleaved [profile, position]
     int64_t n_profiles,
-    const int64_t* query_codes,
-    int64_t n_codes,
-    const int8_t* residues,
-    int64_t query_length,
+    const QueryView* qs,
+    int G,
     const float* pssm,
     const int8_t* pssm8,
     const int64_t* offsets,
     const int32_t* lengths,
     float min_ungapped_score,
     const ExpTables* tables,
-    int32_t* out_profiles,
-    float* out_scores,
+    int64_t* out_counts,
     int64_t max_out,
     Scratch& scratch) {
     const bool expand = tables != nullptr;
     const bool stats = stats_enabled();
     scratch.ensure(n_profiles);
-    const uint64_t epoch = ++scratch.epoch;
     uint32_t* last = scratch.last.data();
     uint32_t* cand_mark = scratch.cand_mark.data();
     auto& cand = scratch.cand;
     cand.clear();
     int64_t n_hits = 0, n_exp_codes = 0;
     auto t_enum0 = std::chrono::steady_clock::now();
-    // 1-2. expansion + index lookups -> O(1) stamp-table hit processing.
-    // Expansion mode: a candidate needs two hits on the same (profile,
-    // diagonal); exact mode: every first hit is a candidate.
-    // Two-stage software pipeline over expanded codes: looking up a code's
-    // entry range touches a random code_table line AND a random entry-list
-    // region; processing the PREVIOUS code's entries while the current
-    // code's lists stream in overlaps those misses (per-code ranges
-    // average only ~7 entries at production scale, too short for the
-    // in-range prefetch below to cover the range's own first touch).
-    auto process_range = [&](int32_t b, int32_t e, int64_t q) {
-        for (int32_t i = b; i < e; ++i) {
-            // the stamp-table access below is the loop's only random
-            // memory reference — overlap its L2/DRAM latency with the
-            // processing of the preceding hits
-            if (i + 8 < e)
-                __builtin_prefetch(&last[entry_pairs[2 * (i + 8)]], 1);
-            const int32_t p = entry_pairs[2 * i];
-            const uint32_t udiag = static_cast<uint32_t>(
-                entry_pairs[2 * i + 1] - static_cast<int32_t>(q) + DIAG_OFF);
-            const uint32_t key =
-                (static_cast<uint32_t>(epoch) << DIAG_BITS) | udiag;
-            if (last[p] == key) {
-                // second match on this diagonal (no distance cap —
-                // MMseqs2's criterion); push once per (p, diag)
-                if (cand_mark[p] != key) {
-                    cand_mark[p] = key;
-                    cand.emplace_back(
-                        (static_cast<uint64_t>(p) << DIAG_BITS) | udiag,
-                        static_cast<uint32_t>(q));
-                }
-            } else {
-                last[p] = key;
-                if (!expand)
-                    cand.emplace_back(
-                        (static_cast<uint64_t>(p) << DIAG_BITS) | udiag,
-                        static_cast<uint32_t>(q));
+
+    // -- 1-2. per-query expansion + index lookups -> stamp-table hits ----
+    // (identical per-query semantics; candidates carry their query index
+    // in the payload's top byte)
+    int64_t qidx_off[G_MAX + 1] = {0};
+    for (int g = 0; g < G; ++g)
+        qidx_off[g + 1] = qidx_off[g] + qs[g].len + 16;
+#if defined(__AVX512F__)
+    if (pssm8) {
+        scratch.qidx.resize(qidx_off[G]);
+        scratch.qvalid.resize(qidx_off[G]);
+        for (int g = 0; g < G; ++g) {
+            int32_t* qi = scratch.qidx.data() + qidx_off[g];
+            int32_t* qv = scratch.qvalid.data() + qidx_off[g];
+            for (int64_t t = 0; t < qs[g].len; ++t) {
+                const int8_t r = qs[g].residues[t];
+                const bool v = r < NAA;
+                qi[t] = static_cast<int32_t>(t * NAA + (v ? r : 0));
+                qv[t] = v ? -1 : 0;
             }
-        }
-    };
-    struct Pend { int32_t b, e; int64_t q; };
-    Pend p1{0, 0, 0}, p2{0, 0, 0};
-    bool h1 = false, h2 = false;
-    auto push_hits = [&](int64_t code, int64_t q) {
-        const int32_t b = code_table[code], e = code_table[code + 1];
-        n_hits += e - b;
-        ++n_exp_codes;
-        __builtin_prefetch(&entry_pairs[2 * b]);
-        if (h2) process_range(p2.b, p2.e, p2.q);
-        if (h1) {
-            const int32_t lim = std::min(p1.e, p1.b + 8);
-            for (int32_t i = p1.b; i < lim; ++i)
-                __builtin_prefetch(&last[entry_pairs[2 * i]], 1);
-            p2 = p1;
-            h2 = true;
-        }
-        p1 = {b, e, q};
-        h1 = true;
-    };
-    for (int64_t q = 0; q < n_codes; ++q) {
-        int64_t code = query_codes[q];
-        if (code < 0) continue;
-        if (!expand) {
-            push_hits(code, q);
-            continue;
-        }
-        const int32_t c2 = static_cast<int32_t>(code / N3);
-        const int32_t c3 = static_cast<int32_t>(code % N3);
-        const int64_t b3 = tables->l3_off[c3], e3 = tables->l3_off[c3 + 1];
-        if (b3 == e3) continue;
-        const float top3 = tables->l3_score[b3];
-        for (int64_t i2 = tables->l2_off[c2]; i2 < tables->l2_off[c2 + 1];
-             ++i2) {
-            const float s2 = tables->l2_score[i2];
-            // l2 sorted desc: once even the best suffix fails, all
-            // remaining prefixes fail too
-            if (s2 + top3 < tables->thr) break;
-            const float need = tables->thr - s2;
-            const int64_t base =
-                static_cast<int64_t>(tables->l2_code[i2]) * N3;
-            for (int64_t i3 = b3; i3 < e3; ++i3) {
-                if (tables->l3_score[i3] < need) break;
-                const int64_t c = base + tables->l3_code[i3];
-                // overlap the entry-list fetch of the next similar k-mer
-                // with processing of the current one
-                if (i3 + 1 < e3 && tables->l3_score[i3 + 1] >= need)
-                    __builtin_prefetch(
-                        &code_table[base + tables->l3_code[i3 + 1]]);
-                push_hits(c, q);
+            for (int i = 0; i < 16; ++i) {
+                qi[qs[g].len + i] = 0;
+                qv[qs[g].len + i] = 0;
             }
         }
     }
-    if (h2) process_range(p2.b, p2.e, p2.q);  // drain the pipeline
-    if (h1) process_range(p1.b, p1.e, p1.q);
+#endif
+    for (int g = 0; g < G; ++g) {
+        const uint64_t epoch = ++scratch.epoch;
+        const uint32_t g_tag = static_cast<uint32_t>(g) << 24;
+        auto process_range = [&](int32_t b, int32_t e, int64_t q) {
+            for (int32_t i = b; i < e; ++i) {
+                // the stamp-table access below is the loop's only random
+                // memory reference — overlap its latency with the
+                // processing of the preceding hits
+                if (i + 8 < e)
+                    __builtin_prefetch(&last[entry_pairs[2 * (i + 8)]], 1);
+                const int32_t p = entry_pairs[2 * i];
+                const uint32_t udiag = static_cast<uint32_t>(
+                    entry_pairs[2 * i + 1] - static_cast<int32_t>(q) +
+                    DIAG_OFF);
+                const uint32_t key =
+                    (static_cast<uint32_t>(epoch) << DIAG_BITS) | udiag;
+                if (last[p] == key) {
+                    // second match on this diagonal (no distance cap —
+                    // MMseqs2's criterion); push once per (p, diag)
+                    if (cand_mark[p] != key) {
+                        cand_mark[p] = key;
+                        cand.emplace_back(
+                            (static_cast<uint64_t>(p) << DIAG_BITS) | udiag,
+                            g_tag | static_cast<uint32_t>(q));
+                    }
+                } else {
+                    last[p] = key;
+                    if (!expand)
+                        cand.emplace_back(
+                            (static_cast<uint64_t>(p) << DIAG_BITS) | udiag,
+                            g_tag | static_cast<uint32_t>(q));
+                }
+            }
+        };
+        struct Pend { int32_t b, e; int64_t q; };
+        Pend p1{0, 0, 0}, p2{0, 0, 0};
+        bool h1 = false, h2 = false;
+        // Two-stage software pipeline over expanded codes: looking up a
+        // code's entry range touches a random code_table line AND a random
+        // entry-list region; processing the PREVIOUS code's entries while
+        // the current code's list streams in overlaps those misses.
+        auto push_hits = [&](int64_t code, int64_t q) {
+            const int32_t b = code_table[code], e = code_table[code + 1];
+            n_hits += e - b;
+            ++n_exp_codes;
+            __builtin_prefetch(&entry_pairs[2 * b]);
+            if (h2) process_range(p2.b, p2.e, p2.q);
+            if (h1) {
+                const int32_t lim = std::min(p1.e, p1.b + 8);
+                for (int32_t i = p1.b; i < lim; ++i)
+                    __builtin_prefetch(&last[entry_pairs[2 * i]], 1);
+                p2 = p1;
+                h2 = true;
+            }
+            p1 = {b, e, q};
+            h1 = true;
+        };
+        for (int64_t q = 0; q < qs[g].n_codes; ++q) {
+            int64_t code = qs[g].codes[q];
+            if (code < 0) continue;
+            if (!expand) {
+                push_hits(code, q);
+                continue;
+            }
+            const int32_t c2 = static_cast<int32_t>(code / N3);
+            const int32_t c3 = static_cast<int32_t>(code % N3);
+            const int64_t b3 = tables->l3_off[c3], e3 = tables->l3_off[c3 + 1];
+            if (b3 == e3) continue;
+            const float top3 = tables->l3_score[b3];
+            for (int64_t i2 = tables->l2_off[c2];
+                 i2 < tables->l2_off[c2 + 1]; ++i2) {
+                const float s2 = tables->l2_score[i2];
+                // l2 sorted desc: once even the best suffix fails, all
+                // remaining prefixes fail too
+                if (s2 + top3 < tables->thr) break;
+                const float need = tables->thr - s2;
+                const int64_t base =
+                    static_cast<int64_t>(tables->l2_code[i2]) * N3;
+                for (int64_t i3 = b3; i3 < e3; ++i3) {
+                    if (tables->l3_score[i3] < need) break;
+                    const int64_t c = base + tables->l3_code[i3];
+                    // overlap the entry-list fetch of the next similar
+                    // k-mer with processing of the current one
+                    if (i3 + 1 < e3 && tables->l3_score[i3 + 1] >= need)
+                        __builtin_prefetch(
+                            &code_table[base + tables->l3_code[i3 + 1]]);
+                    push_hits(c, q);
+                }
+            }
+        }
+        if (h2) process_range(p2.b, p2.e, p2.q);  // drain the pipeline
+        if (h1) process_range(p1.b, p1.e, p1.q);
+    }
     auto t_enum1 = std::chrono::steady_clock::now();
-    // 3. radix-order the candidates by profile (ascending-address PSSM
-    // sweep, see file comment) and stream them through the diagonal
-    // scan; per-profile bests in the stamped ``best`` table, threshold
-    // passers collected once each.
+
+    // -- 3. radix-order the WHOLE GROUP's candidates by profile id
+    // (ascending-address PSSM sweep; stable, so per-query relative order
+    // is preserved) and stream them through the windowed diagonal scan.
     //
     // Extension window around the first double hit (query coords). The
     // ungapped score is the maximal subarray CONTAINED in the window — a
@@ -470,16 +502,18 @@ static int64_t prefilter_query_impl(
     // (MMseqs2 likewise caps its prefilter diagonal scores — at the uchar
     // saturation bound of its SIMD scorer.) Exact-k-mer mode (tests, small
     // DBs, the numpy-fallback contract) keeps the full-diagonal scan.
-    const int64_t W = expand ? config().window
-                             : (query_length > DIAG_OFF
-                                    ? query_length
-                                    : static_cast<int64_t>(DIAG_OFF));
-    uint64_t* best_tab = scratch.best.data();
-    auto& sel_ids = scratch.sel_ids;
-    sel_ids.clear();
+    const int64_t W_cfg = config().window;
+    int64_t Wg[G_MAX];
+    for (int g = 0; g < G; ++g)
+        Wg[g] = expand ? W_cfg
+                       : (qs[g].len > DIAG_OFF
+                              ? qs[g].len
+                              : static_cast<int64_t>(DIAG_OFF));
+    const uint64_t group_epoch = ++scratch.group_epoch;
+    uint64_t* best_tab = scratch.best.data();  // [p * G_MAX + g]
+    for (int g = 0; g < G; ++g) scratch.sel_ids_g[g].clear();
     {
-        // order candidates by profile id (2x9-bit LSD radix, stable):
-        // the scan then sweeps the PSSM in ascending address order
+        // order candidates by profile id (2x9-bit LSD radix, stable)
         auto& tmp = scratch.cand_tmp;
         tmp.resize(cand.size());
         uint32_t count[512];
@@ -495,54 +529,33 @@ static int64_t prefilter_query_impl(
     }
     const size_t n = cand.size();
     // lookahead distance: each candidate's window lines prefetch PF
-    // candidates before its scan, deep enough to cover DRAM latency at
-    // ~40-60 ns/candidate scan time
+    // candidates before its scan, deep enough to cover DRAM latency
     constexpr size_t PF = 12;
     constexpr int64_t PF_MAX_BYTES = 2048;  // cap per-candidate prefetch
-    auto decode = [&](size_t i, int32_t& p, int32_t& diag, int64_t& hit_q) {
+    auto decode = [&](size_t i, int32_t& p, int32_t& diag, int& g,
+                      int64_t& hit_q) {
         const uint64_t key = cand[i].first;
         p = static_cast<int32_t>(key >> DIAG_BITS);
         diag = static_cast<int32_t>((key & ((1u << DIAG_BITS) - 1)) -
                                     DIAG_OFF);
-        hit_q = cand[i].second;
+        g = static_cast<int>(cand[i].second >> 24);
+        hit_q = cand[i].second & 0xFFFFFF;
     };
-    auto window_bounds = [&](int32_t p, int32_t diag, int64_t hit_q,
+    auto window_bounds = [&](int32_t p, int32_t diag, int g, int64_t hit_q,
                              int64_t& q_lo, int64_t& q_hi) {
-        q_lo = std::max<int64_t>(diag < 0 ? -diag : 0, hit_q - W);
+        q_lo = std::max<int64_t>(diag < 0 ? -diag : 0, hit_q - Wg[g]);
         q_hi = std::min<int64_t>(
-            std::min<int64_t>(query_length, lengths[p] - diag), hit_q + W + K);
+            std::min<int64_t>(qs[g].len, lengths[p] - diag),
+            hit_q + Wg[g] + K);
     };
     const int64_t elem = pssm8 ? 1 : 4;
-#if defined(__AVX512F__)
-    // SIMD gather operands: precomputed once per query so each candidate's
-    // scan is 16-wide dword gathers (16 concurrent loads per instruction —
-    // the scan is DRAM-latency bound, and memory-level parallelism inside
-    // a candidate is what a scalar byte loop cannot express)
-    const bool simd = pssm8 != nullptr;
-    if (simd) {
-        scratch.qidx.resize(query_length + 16);
-        scratch.qvalid.resize(query_length + 16);
-        for (int64_t t = 0; t < query_length; ++t) {
-            const int8_t r = residues[t];
-            const bool v = r < NAA;
-            scratch.qidx[t] =
-                static_cast<int32_t>(t * NAA + (v ? r : 0));
-            scratch.qvalid[t] = v ? -1 : 0;
-        }
-        for (int i = 0; i < 16; ++i) {
-            scratch.qidx[query_length + i] = 0;
-            scratch.qvalid[query_length + i] = 0;
-        }
-    }
-    const int32_t* qidx = scratch.qidx.data();
-    const int32_t* qvalid = scratch.qvalid.data();
-#endif
     for (size_t i = 0; i < n; ++i) {
         if (i + PF < n) {
             int32_t p2, d2;
+            int g2;
             int64_t hq2, lo2, hi2;
-            decode(i + PF, p2, d2, hq2);
-            window_bounds(p2, d2, hq2, lo2, hi2);
+            decode(i + PF, p2, d2, g2, hq2);
+            window_bounds(p2, d2, g2, hq2, lo2, hi2);
             if (hi2 > lo2) {
                 const char* base =
                     (pssm8 ? reinterpret_cast<const char*>(pssm8)
@@ -555,9 +568,10 @@ static int64_t prefilter_query_impl(
             }
         }
         int32_t p, diag;
+        int g;
         int64_t hit_q, q_lo, q_hi;
-        decode(i, p, diag, hit_q);
-        window_bounds(p, diag, hit_q, q_lo, q_hi);
+        decode(i, p, diag, g, hit_q);
+        window_bounds(p, diag, g, hit_q, q_lo, q_hi);
         float bestf = 0.0f;
         if (q_hi > q_lo) {
             if (pssm8) {
@@ -567,12 +581,13 @@ static int64_t prefilter_query_impl(
 #if defined(__AVX512F__)
                 // 16-wide gathers: address = prof + t*20 + residue
                 // (= prof + qidx[t]); masked tail lanes contribute 0,
-                // which cannot change a max-subarray, so the scalar
-                // Kadane runs over whole 16-chunks. The dword gather
-                // reads up to 3 bytes past a row's score — the int8
-                // buffer is allocated with tail padding (profiledb
-                // pssm_i8) so the final rows are safe too.
-                alignas(64) int32_t buf[16];
+                // which cannot change a max-subarray, so whole 16-chunks
+                // are processed. The dword gather reads up to 3 bytes
+                // past a row's score — the int8 buffer is allocated with
+                // tail padding (profiledb pssm_i8) so the final rows are
+                // safe too.
+                const int32_t* qidx = scratch.qidx.data() + qidx_off[g];
+                const int32_t* qvalid = scratch.qvalid.data() + qidx_off[g];
                 for (int64_t t0 = q_lo; t0 < q_hi; t0 += 16) {
                     const int rem =
                         static_cast<int>(std::min<int64_t>(16, q_hi - t0));
@@ -581,21 +596,22 @@ static int64_t prefilter_query_impl(
                                   : static_cast<__mmask16>((1u << rem) - 1);
                     __m512i vidx = _mm512_loadu_si512(
                         reinterpret_cast<const void*>(qidx + t0));
-                    __m512i g = _mm512_mask_i32gather_epi32(
+                    __m512i gg = _mm512_mask_i32gather_epi32(
                         _mm512_setzero_si512(), m, vidx, prof, 1);
-                    g = _mm512_srai_epi32(_mm512_slli_epi32(g, 24), 24);
-                    g = _mm512_and_si512(
-                        g, _mm512_loadu_si512(
-                               reinterpret_cast<const void*>(qvalid + t0)));
-                    g = _mm512_maskz_mov_epi32(m, g);
-                    // Kadane as a max-plus prefix scan: each element is the
-                    // affine-max map f(r) = max(r + s, 0), i.e. the pair
-                    // (a, b) = (s, 0) under f(r) = max(r + a, b); maps
-                    // compose associatively as (a1+a2, max(b1+a2, b2)), so
-                    // a 4-step Hillis-Steele scan replaces the 16-step
-                    // serial dependency chain of the scalar loop.
+                    gg = _mm512_srai_epi32(_mm512_slli_epi32(gg, 24), 24);
+                    gg = _mm512_and_si512(
+                        gg, _mm512_loadu_si512(
+                                reinterpret_cast<const void*>(qvalid + t0)));
+                    gg = _mm512_maskz_mov_epi32(m, gg);
+                    // Kadane as a max-plus prefix scan: each element is
+                    // the affine-max map f(r) = max(r + s, 0), i.e. the
+                    // pair (a, b) = (s, 0) under f(r) = max(r + a, b);
+                    // maps compose associatively as
+                    // (a1+a2, max(b1+a2, b2)), so a 4-step Hillis-Steele
+                    // scan replaces the 16-step serial dependency chain
+                    // of the scalar loop.
                     const __m512i NEG = _mm512_set1_epi32(-(1 << 28));
-                    __m512i A = g, B = _mm512_setzero_si512();
+                    __m512i A = gg, B = _mm512_setzero_si512();
                     {
                         __m512i As, Bs;
                         As = _mm512_alignr_epi32(A, _mm512_setzero_si512(), 15);
@@ -624,7 +640,7 @@ static int64_t prefilter_query_impl(
                 }
 #else
                 for (int64_t t = q_lo; t < q_hi; ++t) {
-                    const int8_t res = residues[t];
+                    const int8_t res = qs[g].residues[t];
                     const int32_t s = res < NAA ? prof[t * NAA + res] : 0;
                     running += s;
                     if (running < 0) running = 0;
@@ -642,38 +658,52 @@ static int64_t prefilter_query_impl(
                     // full-diagonal scans run through here)
                     if (t + 8 < q_hi)
                         __builtin_prefetch(prof + (t + 8) * NAA);
-                    const int8_t res = residues[t];
-                    const float s = res < NAA ? prof[t * NAA + res] : 0.0f;
-                    running += s;
+                    const int8_t res = qs[g].residues[t];
+                    const float sc = res < NAA ? prof[t * NAA + res] : 0.0f;
+                    running += sc;
                     if (running < 0.0f) running = 0.0f;
                     if (running > best) best = running;
                 }
                 bestf = best;
             }
         }
-        const uint64_t cur = best_tab[p];
+        uint64_t* slot = &best_tab[static_cast<int64_t>(p) * G_MAX + g];
+        const uint64_t cur = *slot;
         const uint32_t sbits = f32_bits(bestf);
-        if ((cur >> 32) != epoch) {
-            best_tab[p] = (epoch << 32) | sbits;
-            if (bestf >= min_ungapped_score) sel_ids.push_back(p);
+        if ((cur >> 32) != group_epoch) {
+            *slot = (group_epoch << 32) | sbits;
+            if (bestf >= min_ungapped_score) scratch.sel_ids_g[g].push_back(p);
         } else if (sbits > static_cast<uint32_t>(cur)) {
-            best_tab[p] = (epoch << 32) | sbits;
+            *slot = (group_epoch << 32) | sbits;
             if (bits_f32(static_cast<uint32_t>(cur)) < min_ungapped_score &&
                 bestf >= min_ungapped_score)
-                sel_ids.push_back(p);
+                scratch.sel_ids_g[g].push_back(p);
         }
     }
     auto t_scan1 = std::chrono::steady_clock::now();
-    // 4. emit: score desc, profile id asc on ties (MMseqs2's prefilter
-    // result order, consumed by --max-rejected)
-    auto& selected = scratch.selected;
-    selected.clear();
-    selected.reserve(sel_ids.size());
-    for (int32_t p : sel_ids)
-        selected.emplace_back(bits_f32(static_cast<uint32_t>(best_tab[p])), p);
-    std::sort(selected.begin(), selected.end(), [](auto& x, auto& y) {
-        return x.first != y.first ? x.first > y.first : x.second < y.second;
-    });
+    // -- 4. per-query emit: score desc, profile id asc on ties (MMseqs2's
+    // prefilter result order, consumed by --max-rejected)
+    for (int g = 0; g < G; ++g) {
+        auto& selected = scratch.selected;
+        selected.clear();
+        selected.reserve(scratch.sel_ids_g[g].size());
+        for (int32_t p : scratch.sel_ids_g[g])
+            selected.emplace_back(
+                bits_f32(static_cast<uint32_t>(
+                    best_tab[static_cast<int64_t>(p) * G_MAX + g])),
+                p);
+        std::sort(selected.begin(), selected.end(), [](auto& x, auto& y) {
+            return x.first != y.first ? x.first > y.first
+                                      : x.second < y.second;
+        });
+        const int64_t n_out = std::min<int64_t>(
+            static_cast<int64_t>(selected.size()), max_out);
+        for (int64_t k = 0; k < n_out; ++k) {
+            qs[g].out_profiles[k] = selected[k].second;
+            if (qs[g].out_scores) qs[g].out_scores[k] = selected[k].first;
+        }
+        out_counts[g] = static_cast<int64_t>(selected.size());
+    }
     if (stats) {
         auto t_end = std::chrono::steady_clock::now();
         g_stats.hits += n_hits;
@@ -692,13 +722,6 @@ static int64_t prefilter_query_impl(
                                                                  t_scan1)
                 .count();
     }
-    const int64_t n_out =
-        std::min<int64_t>(static_cast<int64_t>(selected.size()), max_out);
-    for (int64_t k = 0; k < n_out; ++k) {
-        out_profiles[k] = selected[k].second;
-        if (out_scores) out_scores[k] = selected[k].first;
-    }
-    return static_cast<int64_t>(selected.size());
 }
 
 int64_t prefilter_query(
@@ -723,11 +746,13 @@ int64_t prefilter_query(
         (subst != nullptr && kmer_thr < 1e30f) ? get_tables(subst, kmer_thr)
                                                : nullptr;
     Scratch scratch;
-    return prefilter_query_impl(
-        code_table, entry_pairs, n_profiles, query_codes,
-        n_codes, residues, query_length, pssm, pssm8, offsets, lengths,
-        min_ungapped_score, tables, out_profiles, out_scores, max_out,
-        scratch);
+    QueryView qv{query_codes, n_codes, residues, query_length, out_profiles,
+                 out_scores};
+    int64_t count = 0;
+    prefilter_group_impl(code_table, entry_pairs, n_profiles, &qv, 1, pssm,
+                         pssm8, offsets, lengths, min_ungapped_score, tables,
+                         &count, max_out, scratch);
+    return count;
 }
 
 // Batched, multithreaded driver: runs the prefilter over n_queries
@@ -765,18 +790,26 @@ int64_t prefilter_batch(
     auto worker = [&]() {
         Scratch scratch;
         for (;;) {
-            int64_t q = next.fetch_add(1);
-            if (q >= n_queries) break;
-            out_counts[q] = prefilter_query_impl(
-                code_table, entry_pairs, n_profiles,
-                query_codes + code_offsets[q],
-                code_offsets[q + 1] - code_offsets[q],
-                residues + residue_offsets[q],
-                residue_offsets[q + 1] - residue_offsets[q], pssm, pssm8,
-                offsets, lengths, min_ungapped_score, tables,
-                out_profiles + q * max_out_per_query,
-                out_scores ? out_scores + q * max_out_per_query : nullptr,
-                max_out_per_query, scratch);
+            const int64_t q0 = next.fetch_add(G_MAX);
+            if (q0 >= n_queries) break;
+            const int G =
+                static_cast<int>(std::min<int64_t>(G_MAX, n_queries - q0));
+            QueryView qv[G_MAX];
+            for (int g = 0; g < G; ++g) {
+                const int64_t q = q0 + g;
+                qv[g] = QueryView{
+                    query_codes + code_offsets[q],
+                    code_offsets[q + 1] - code_offsets[q],
+                    residues + residue_offsets[q],
+                    residue_offsets[q + 1] - residue_offsets[q],
+                    out_profiles + q * max_out_per_query,
+                    out_scores ? out_scores + q * max_out_per_query
+                               : nullptr};
+            }
+            prefilter_group_impl(code_table, entry_pairs, n_profiles, qv, G,
+                                 pssm, pssm8, offsets, lengths,
+                                 min_ungapped_score, tables, out_counts + q0,
+                                 max_out_per_query, scratch);
         }
     };
     std::vector<std::thread> threads;
