@@ -50,10 +50,15 @@ def test_native_matches_numpy_prefilter(lib, rng):
 
 
 def test_native_batch_matches_single(lib, rng):
+    """Batch == query-by-query, across GROUP boundaries: the native engine
+    scans candidates of up to 16 queries jointly (grouped radix sweep), so
+    the query list deliberately exceeds one group and ends on a partial
+    group — per-query results must be identical either way."""
     db = ProfileDB.synthetic(seed=41, n_profiles=40, min_len=60, max_len=120)
     index = db.kmer_index(1)
-    residues_list = [db.consensus(t)[:80] for t in (2, 9, 33)]
+    residues_list = [db.consensus(t % 40)[:80] for t in (2, 9, 33, *range(14))]
     residues_list.append(rng.integers(0, 20, 70).astype(np.int8))
+    assert len(residues_list) == 18  # one full 16-query group + a partial
     ids_list, scores_list, dropped = native.native_prefilter_batch(
         index, residues_list, db, 25.0, n_threads=2
     )
