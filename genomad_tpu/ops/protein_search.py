@@ -19,17 +19,38 @@ Replaces the reference's 8-command MMseqs2 subprocess chain
      makes close-then-reopen never optimal — so each row is pure vector
      work over (batch, target) with no sequential inner loop.
      A forward pass yields score + end cell; a reverse pass on accepted
-     pairs yields the start cell, giving query coverage for the reference's
-     align-mode-2 filter (``--cov-mode 2 -c 0.2``).
+     pairs yields the start cell, giving the alignment span on the profile
+     axis for the reference's align-mode-2 coverage filter.
 
-  3. **Best hit**: highest bitscore per query with deterministic
-     tie-breaking (reference: filterdb --extract-lines 1 after swap,
-     mmseqs2.py:151-158); E-values from Karlin-Altschul statistics.
-     Alignment of each query's candidate list stops after 280 consecutive
-     E-value rejections — MMseqs2's ``--max-rejected 280``
-     (mmseqs2.py:120-121) — applied post-hoc to batched results, which is
-     bit-equal to the reference's sequential walk because accept/reject is
-     a pure per-pair function.
+  3. **Gates + best hit — PROFILE-AS-QUERY orientation.** The reference
+     swaps prefilter results before aligning (mmseqs2.py:97-106) and runs
+     both align passes as ``mmseqs align <profileDB> <queryDB>``
+     (mmseqs2.py:107-140): the marker PROFILE is the align-stage query and
+     the gene is the target. Every align-stage gate therefore operates on
+     the profile side, and this engine reproduces that orientation:
+
+     - ``-e`` (pass 1+2): E = K * profile_length * n * exp(-lambda * S)
+       with n = the total residue count of the protein query SET (MMseqs2
+       builds the align evaluer from the target DB — here the swapped-in
+       protein DB — so the search space is the protein set, not the
+       profile DB).
+     - ``--cov-mode 2 -c 0.2`` (pass 2): coverage of the align-stage QUERY
+       = aligned profile span / profile length >= 0.2.
+     - ``--max-rejected 280`` (pass 1 only; pass 2 runs the default
+       INT_MAX): each PROFILE walks its candidate-GENE list (swapped
+       prefilter order: ungapped score descending) and stops after 280
+       consecutive E-value rejections. Applied post-hoc to batched
+       results — bit-equal to the sequential walk because accept/reject
+       is a pure per-pair function and the full per-profile lists are
+       known once every query has been prefiltered.
+     - **Best hit**: ``swapresults`` back (mmseqs2.py:141-150) re-derives
+       the raw score from the INTEGER bitscore and recomputes the E-value
+       in the gene orientation (E_report = gene_length * profile_db_positions
+       * 2^-int_bits); ``filterdb --extract-lines 1`` (mmseqs2.py:151-158)
+       then takes the head of each gene's list sorted by MMseqs2's
+       Matcher::compareHits (E asc, then bitscore desc, then target length
+       asc, then target key asc) — for a fixed gene that key reduces to
+       (int bitscore desc, profile length asc, profile id asc).
 
 Sharding: the profile DB shards across the 'db' mesh axis (the native
 replacement for serial ``--splits`` chunking, mmseqs2.py:83-95) and the
@@ -41,7 +62,6 @@ deterministically (shard-count-invariant).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -160,13 +180,19 @@ def _pair_stats_ops(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def ka_params(lam: float, kk: float, db_positions: int) -> np.ndarray:
+def ka_params(lam: float, kk: float, search_space: int) -> np.ndarray:
     """Traced Karlin-Altschul gate parameters: (lambda, log K in f32,
-    db_positions) as a (3,) f32 array. Traced — NOT static jit args — so
-    one compiled SW program serves every database (a static db size would
-    recompile stage 2 per DB)."""
+    search_space) as a (3,) f32 array. Traced — NOT static jit args — so
+    one compiled SW program serves every database (a static size would
+    recompile stage 2 per DB).
+
+    ``search_space`` is the align-stage target-DB residue count. In the
+    reference's swapped orientation the align target DB is the PROTEIN
+    query set (mmseqs2.py:107-140), so pass the total query residue count
+    — NOT the profile-DB positions (those enter only the swapped-back
+    reported E-value)."""
     return np.array(
-        [lam, np.log(np.float32(kk), dtype=np.float32), db_positions],
+        [lam, np.log(np.float32(kk), dtype=np.float32), search_space],
         np.float32,
     )
 
@@ -175,7 +201,7 @@ def ka_params(lam: float, kk: float, db_positions: int) -> np.ndarray:
 def _sw_fwd_gate(
     all_q: jnp.ndarray,
     all_p21: jnp.ndarray,
-    q_lengths: jnp.ndarray,
+    p_lengths: jnp.ndarray,
     idx: jnp.ndarray,
     ka: jnp.ndarray,
 ) -> jnp.ndarray:
@@ -192,16 +218,18 @@ def _sw_fwd_gate(
     most candidate pairs fail the E-value gate.
 
     all_q: (nq, Lq) staged padded queries; all_p21: (np, Lp, 21) staged
-    padded profiles (f32 or bf16 — converted in-program); q_lengths: (nq,)
-    f32; idx: (2, N) int32 rows into each; ka: ka_params().
-    Returns (N, 4) f32: score, end_i, end_j, evalue32 (from _gate_cols'
-    E-value formula — identical to the sharded gate).
+    padded profiles (f32 or bf16 — converted in-program); p_lengths: (np,)
+    f32 profile lengths (the align-stage QUERY lengths in the reference's
+    swapped orientation); idx: (2, N) int32 rows into each; ka:
+    ka_params() with the protein-set residue count as search space.
+    Returns (N, 4) f32: score, end_i, end_j, evalue32 (from _gate_ev —
+    identical to the sharded gate).
     """
     q = jnp.take(all_q, idx[0], axis=0)
     p = jnp.take(all_p21, idx[1], axis=0).astype(jnp.float32)
     best, end_i, end_j = _sw_dispatch(q, p)
-    qlen = jnp.take(q_lengths, idx[0]).astype(jnp.float32)
-    ev, _ = _gate_cols(best, end_i.astype(jnp.float32), jnp.zeros_like(best), qlen, ka)
+    plen = jnp.take(p_lengths, idx[1]).astype(jnp.float32)
+    ev = _gate_ev(best, plen, ka)
     return jnp.stack(
         [best, end_i.astype(jnp.float32), end_j.astype(jnp.float32), ev],
         axis=1,
@@ -212,16 +240,18 @@ def _sw_fwd_gate(
 def _sw_rev_cov(
     all_q: jnp.ndarray,
     all_p21: jnp.ndarray,
-    q_lengths: jnp.ndarray,
+    p_lengths: jnp.ndarray,
     idx: jnp.ndarray,
     ends: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Reverse-pass query coverage for pairs that passed the E-value gate.
+    """Reverse-pass PROFILE coverage for pairs that passed the E-value gate.
 
     idx: (2, M) rows into the staged operand caches; ends: (2, M) f32
-    (end_i, end_j) from the forward pass. Returns (M,) f32 qcov32 =
-    (end_i - start_i + 1) / qlen with start_i from the reverse SW — the
-    same f32 statistic the sharded gate computes (_gate_cols).
+    (end_i, end_j) from the forward pass. Returns (M,) f32 pcov32 =
+    (end_j - start_j + 1) / plen with start_j from the reverse SW — the
+    reference's ``--cov-mode 2 -c 0.2`` gates on coverage of the
+    align-stage QUERY, which is the PROFILE in the swapped orientation
+    (mmseqs2.py:123-140). Same f32 statistic as the sharded gate.
     """
     q = jnp.take(all_q, idx[0], axis=0)
     p = jnp.take(all_p21, idx[1], axis=0).astype(jnp.float32)
@@ -236,9 +266,9 @@ def _sw_rev_cov(
         jnp.take_along_axis(p, jnp.maximum(tp, 0)[:, :, None], axis=1),
         0.0,
     )
-    _, rev_i, _ = _sw_dispatch(rev_q, rev_p)
-    qlen = jnp.take(q_lengths, idx[0]).astype(jnp.float32)
-    return (rev_i.astype(jnp.float32) + 1.0) / qlen
+    _, _, rev_j = _sw_dispatch(rev_q, rev_p)
+    plen = jnp.take(p_lengths, idx[1]).astype(jnp.float32)
+    return (rev_j.astype(jnp.float32) + 1.0) / plen
 
 
 _INT32_MAX = np.iinfo(np.int32).max
@@ -298,19 +328,35 @@ def bitscore(raw_score, lam: float = KA_LAMBDA, k: float = KA_K) -> np.ndarray:
     return (lam * np.asarray(raw_score) - np.log(k)) / LN2
 
 
-def _gate_cols(score, end_i, start_i, qlen, ka):
-    """float32 E-value + query-coverage columns — the SINGLE on-device gate
+def _gate_ev(score, plen, ka):
+    """float32 align-stage E-value — the SINGLE on-device gate
     implementation shared by the single-device and DB-sharded paths, so
     threshold-edge pairs pass or fail identically on both (they previously
-    diverged: host gated in f64, device in f32). Reported winner values are
-    still recomputed in f64 from the raw score by both paths.
+    diverged: host gated in f64, device in f32).
 
-    score/end_i/start_i/qlen: (N,) f32 traced; ka: ka_params() (3,) f32.
+    Computed in the reference's swapped orientation (profile as query,
+    mmseqs2.py:107-140): E = K * plen * search_space * exp(-lambda * S)
+    with search_space = the protein query set's residue count (ka[2]).
+
+    score/plen: (N,) f32 traced; ka: ka_params() (3,) f32.
     """
     bits = (ka[0] * score - ka[1]) / LN2
-    ev = qlen * ka[2] * jnp.exp2(-bits)
-    qcov = (end_i - start_i + 1.0) / qlen
-    return ev, qcov
+    return plen * ka[2] * jnp.exp2(-bits)
+
+
+def int_bitscore(raw_score, lam: float = KA_LAMBDA, k: float = KA_K) -> np.ndarray:
+    """MMseqs2's stored integer bitscore: Matcher rounds half-up
+    (static_cast<int>(computeBitScore(score) + 0.5))."""
+    return np.floor(bitscore(raw_score, lam, k) + 0.5)
+
+
+def evalue_from_bits(bits, query_length, db_positions) -> np.ndarray:
+    """Reported (swapped-back) E-value. The reference's second swapresults
+    re-derives the raw score from the INT bitscore and recomputes
+    E = K * m * n * exp(-lambda * raw') with m = gene length and n = the
+    profile DB's residue (consensus-position) count, which collapses to
+    m * n * 2^-int_bits exactly (the K and lambda cancel)."""
+    return query_length * db_positions * np.power(2.0, -np.asarray(bits, np.float64))
 
 
 def evalue(
@@ -518,24 +564,13 @@ def _staging_dtype(db):
     return np.float32
 
 
-@dataclass
-class Hit:
-    query: str
-    target: str
-    evalue: float
-    bitscore: float
-    taxid: int
-    raw_score: float = 0.0
-    qcov: float = 0.0
-
-
 def search(
     query_names,
     query_seqs,
     db: ProfileDB,
     sensitivity: float = 4.2,
     evalue_threshold: float = 1e-3,
-    min_qcov: float = 0.2,
+    min_cov: float = 0.2,
     min_ungapped_score: float = 25.0,
     skip_prefilter: bool = False,
     batch_size: int = 128,
@@ -546,7 +581,7 @@ def search(
     n_threads: int | None = None,
     _details: bool = False,
 ) -> dict:
-    """Full search: prefilter -> batched SW -> coverage filter -> best hit.
+    """Full search: prefilter -> batched SW -> profile-side gates -> best hit.
 
     Returns {query_name: (target, evalue, bitscore, taxid)} — the contract
     of MMseqs2.get_matches() (genomad/mmseqs2.py:198-212).
@@ -559,26 +594,45 @@ def search(
     n_threads: host prefilter worker count (the reference's MMseqs2
     ``--threads`` analog, genomad/mmseqs2.py:83); None = all available.
 
-    max_rejected emulates MMseqs2's ``--max-rejected 280`` pass-1 early
-    termination (genomad/mmseqs2.py:120-121): per query, candidates past
-    the 280th consecutive E-value rejection (in prefilter-score order) are
-    never aligned. 0 disables the rule (align every candidate).
+    GATE ORIENTATION (see the module docstring): the reference aligns with
+    the PROFILE as query (mmseqs2.py:107-140), so:
+
+    - ``evalue_threshold`` gates E = K * profile_len * total_query_residues
+      * exp(-lambda * S) — profile-side m, protein-set search space;
+    - ``min_cov`` is the reference's ``--cov-mode 2 -c 0.2``: minimum
+      aligned-profile-span / profile-length (NOT gene coverage);
+    - ``max_rejected`` (``--max-rejected 280``, pass 1 only) walks each
+      PROFILE's candidate-gene list in swapped prefilter order (ungapped
+      score desc, gene index asc on ties) and stops at the 280th
+      consecutive E-value rejection. Because full per-profile lists exist
+      only after every gene is prefiltered, the rule is applied post-hoc
+      to the complete batched pair table — bit-equal to the sequential
+      walk (accept/reject is a pure per-pair function); the "saved"
+      alignments are simply computed and discarded, overlapped with the
+      host prefilter. 0 disables the rule (align every candidate).
+    - best hit per gene = (int bitscore desc, profile length asc, profile
+      id asc) — the head of the swapped-back compareHits-sorted list; the
+      reported E-value is gene_len * db_positions * 2^-int_bits, the
+      swap-back recomputation.
 
     With a mesh, stage 2 runs as ONE jitted (data x db)-sharded program
     per operand bucket: profiles shard over 'db', the pair batch shards
     over both axes — see _sharded_pair_stats_program. Best-hit selection
-    merges on the host (it needs the per-pair accept flags that
-    --max-rejected consumes); results are shard-count-invariant.
+    merges on the host; results are shard-count-invariant (the E-gate's
+    search space is the query set, identical at any shard count).
     """
     residues_list = [profiledb.encode_protein(s) for s in query_seqs]
     # Karlin-Altschul parameters: the DB's calibrated fit when present
     # (ops.statistics.calibrate_db), else the generic BLOSUM62 constants.
     lam = db.ka_lambda if getattr(db, "ka_lambda", None) else KA_LAMBDA
     kk = db.ka_k if getattr(db, "ka_k", None) else KA_K
-    # db_positions: the search-space size for Karlin-Altschul statistics.
-    # Shard searches must pass the FULL database size so E-values (and the
-    # E-value gate) are shard-count-invariant, exactly as MMseqs2 corrects
-    # split-mode E-values to the whole target DB (mmseqs2.py:83-95).
+    # db_positions: the profile-DB residue count entering only the REPORTED
+    # (swapped-back) E-value. Shard searches must pass the FULL database
+    # size so reported E-values are shard-count-invariant, exactly as
+    # MMseqs2 corrects split-mode E-values to the whole target DB
+    # (mmseqs2.py:83-95). The align-stage GATE E-value instead uses the
+    # protein query set's residue count (n_gate below), which no sharding
+    # touches.
     if db_positions is None:
         db_positions = max(db.total_positions, 1)
 
@@ -587,11 +641,19 @@ def search(
     # hundred profiles costs less than host k-mer expansion (this covers the
     # integrase DB, whose s=8.2 would otherwise build ~10^4-entry similar
     # k-mer lists per query position). In this all-pairs mode there is no
-    # prefilter-score order, so --max-rejected (whose semantics depend on
-    # that order) is disabled — every pair is aligned, a superset of what
-    # any truncation would align.
+    # prefilter-score order, so --max-rejected (whose per-profile walk
+    # order is the swapped prefilter order) is disabled — every pair is
+    # aligned, a SUPERSET of the reference's behavior: with many query
+    # genes a profile's list could exceed 280 consecutive rejections, and
+    # the reference would then skip (possibly-accepting) genes past the
+    # stop point while this path still aligns them (divergence documented
+    # in PARITY.md; affects only the small-DB/integrase path).
     nq = len(residues_list)
     q_lengths = np.array([len(r) for r in residues_list], np.int64)
+    # Align-stage search space: the reference's align evaluer is built from
+    # the (swapped-in) target DB = the createdb'd protein set, whose
+    # residue count covers EVERY input protein (mmseqs2.py:75,107-140).
+    n_gate = max(int(q_lengths.sum()), 1)
     # max_seqs: candidates per query are capped to the top-``max_seqs``
     # by ungapped prefilter score — MMseqs2's --max-seqs. The reference
     # passes ``--max-seqs 10000000`` (effectively uncapped,
@@ -615,9 +677,12 @@ def search(
     drop_total = [0]
 
     def prefilter_group(q_idx):
-        """Candidate id lists for one group of query indices (host CPU)."""
+        """Per-query (candidate ids, ungapped scores) for one group of
+        query indices (host CPU). Scores feed the per-PROFILE
+        --max-rejected walk order (swapped prefilter order)."""
         if all_pairs:
-            return [np.arange(db.n_profiles, dtype=np.int64)] * len(q_idx)
+            ids = np.arange(db.n_profiles, dtype=np.int64)
+            return [(ids, np.zeros(db.n_profiles, np.float32))] * len(q_idx)
         from genomad_tpu import native
 
         res_sub = [residues_list[i] for i in q_idx]
@@ -629,19 +694,22 @@ def search(
         if result is None:  # no C++ toolchain: numpy fallback
             cache: dict = {}
             drop_list: list = []
-            ids_list = [
-                prefilter_query(
+            out_list = []
+            for i in q_idx:
+                ids, scores = prefilter_query(
                     residues_list[i], db, index, min_ungapped_score,
                     max_candidates=out_bound, kmer_thr=kmer_thr,
                     expansion_cache=cache, drops=drop_list,
-                )[0].astype(np.int64)
-                for i in q_idx
-            ]
+                )
+                out_list.append((ids.astype(np.int64), scores.astype(np.float32)))
             drop_total[0] += sum(drop_list)
-            return ids_list
-        ids_list, _scores_list, n_dropped = result
+            return out_list
+        ids_list, scores_list, n_dropped = result
         drop_total[0] += n_dropped
-        return [ids.astype(np.int64) for ids in ids_list]
+        return [
+            (ids.astype(np.int64), scores.astype(np.float32))
+            for ids, scores in zip(ids_list, scores_list)
+        ]
 
     # ---- staged operand caches (shared by both stage-2 backends) ----
     # Every staged array dimension is padded to a power of two so the
@@ -658,20 +726,14 @@ def search(
             for i, r in enumerate(residues_list):
                 if len(r) <= Lq:
                     arr[i, : len(r)] = r
-            qlen_pad = np.ones(arr.shape[0], np.float32)
-            qlen_pad[: len(q_lengths)] = q_lengths
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 from genomad_tpu.parallel.mesh import put_global
 
-                rep = NamedSharding(mesh, P())
-                padded_queries[qb_i] = (
-                    put_global(arr, rep),
-                    put_global(qlen_pad, rep),
-                )
+                padded_queries[qb_i] = put_global(arr, NamedSharding(mesh, P()))
             else:
-                padded_queries[qb_i] = (jnp.asarray(arr), jnp.asarray(qlen_pad))
+                padded_queries[qb_i] = jnp.asarray(arr)
         return padded_queries[qb_i]
 
     def get_staged_profiles(pb_i):
@@ -703,13 +765,18 @@ def search(
                 _staging_source(db)[np.minimum(rows, db.offsets[-1] - 1)],
                 0,
             )
-            cache[pb_i] = (ids, jnp.asarray(arr))
+            # per-row profile lengths (pad rows 1 to keep the E-value
+            # division finite; their zero-PSSM scores fail every gate)
+            plen = np.ones(arr.shape[0], np.float32)
+            plen[: len(ids)] = lens
+            cache[pb_i] = (ids, jnp.asarray(arr), jnp.asarray(plen))
         return cache[pb_i]
 
     def get_staged_shards(pb_i):
-        """(ids, per-device row count, profile tensor sharded over 'db') for
-        one profile length class. Rows [d * p_loc, (d+1) * p_loc) live on
-        db-shard d (replicated over 'data'); padding rows have zero PSSMs."""
+        """(ids, per-device row count, profile tensor sharded over 'db',
+        profile lengths sharded over 'db') for one profile length class.
+        Rows [d * p_loc, (d+1) * p_loc) live on db-shard d (replicated over
+        'data'); padding rows have zero PSSMs and length 1."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_db = mesh.shape.get("db", 1)
@@ -730,16 +797,20 @@ def search(
                 _staging_source(db)[np.minimum(rows, db.offsets[-1] - 1)],
                 0,
             )
+            plen = np.ones(arr.shape[0], np.float32)
+            plen[: len(ids)] = lens
             from genomad_tpu.parallel.mesh import put_global
 
+            sh = NamedSharding(mesh, P("db"))
             cache[key] = (
                 ids,
                 p_loc,
-                put_global(arr, NamedSharding(mesh, P("db"))),
+                put_global(arr, sh),
+                put_global(plen, sh),
             )
         return cache[key]
 
-    ka = ka_params(float(lam), float(kk), int(db_positions))
+    ka = ka_params(float(lam), float(kk), n_gate)
     sharded = mesh is not None and (
         mesh.shape.get("db", 1) > 1 or mesh.shape.get("data", 1) > 1
     )
@@ -770,80 +841,43 @@ def search(
             get_staged_profiles=get_staged_profiles,
         )
 
-    # ---- stage 2: rounds of batched SW + --max-rejected + best hit ----
+    # ---- stage 2: batched forward SW over every candidate pair ----
     # Pass-1/pass-2 MMseqs2 semantics (genomad/mmseqs2.py:107-140): the
-    # E-value gate is align-mode 1, the coverage gate is align-mode 2, and
-    # alignment of a query's candidate list (prefilter-score order) stops
-    # after ``max_rejected`` consecutive E-value rejections
-    # (--max-rejected 280, mmseqs2.py:120-121). Acceptance is a pure
-    # per-pair function, so the stop rule is applied POST-HOC to batched
-    # results: align a round of candidates per query, find each query's
-    # stop point from the accept flags, discard results past it — bit-equal
-    # to the reference's sequential accept/reject walk. Rounds exist only
-    # to bound wasted alignment past stop points; most queries finish in
-    # round 1. The host backend aligns forward-only first and runs the
-    # reverse/coverage pass on E-value survivors (same accept decisions:
-    # only E-passing pairs can be accepted, and rejections count E-value
-    # failures only, as in the reference's pass-1).
-    best_score = np.full(nq, -np.inf, np.float32)
-    best_gid = np.full(nq, _INT32_MAX, np.int64)
-    carry = np.zeros(nq, np.int64)  # per-query rejection runs (global ids)
-    round_size = max(512, int(max_rejected))
+    # E-value gate is align-mode 1, the profile-coverage gate is
+    # align-mode 2, and --max-rejected walks each PROFILE's gene list
+    # (swapped orientation — see the docstring). The per-profile lists are
+    # complete only after every gene has been prefiltered, so stage 2
+    # simply aligns ALL candidate pairs (forward pass + E column),
+    # accumulating per-pair records; the stop rule, the reverse/coverage
+    # pass on survivors, and best-hit selection run once at the end
+    # (_finalize). The "extra" alignments past the reference's stop points
+    # are overlapped with the host prefilter, which dominates wall-clock.
+    rec_q: list = []  # gene index per pair
+    rec_p: list = []  # profile id per pair
+    rec_pf: list = []  # prefilter ungapped score per pair
+    rec_stats: list = []  # host: (N,4) score/end_i/end_j/ev32; sharded: (N,7)
 
     def run_stage2(q_idx, cand_group):
-        nonlocal carry
-        n_cands = np.array([len(c) for c in cand_group], np.int64)
-        pos = np.zeros(len(q_idx), np.int64)
-        alive = n_cands > 0
-        while np.any(alive):
-            local = np.where(alive)[0]
-            sq, sp = [], []
-            for li in local:
-                sl = cand_group[li][pos[li] : pos[li] + round_size]
-                sq.append(np.full(len(sl), q_idx[li], np.int64))
-                sp.append(sl)
-            pairs_q = np.concatenate(sq)
-            pairs_p = np.concatenate(sp)
-            if sharded:
-                stats = full_stats_fn(pairs_q, pairs_p)
-                score, ev32 = stats[:, 0], stats[:, 5]
-                qcov32 = stats[:, 6]
-                ends = None
-            else:
-                fwd = fwd_fn(pairs_q, pairs_p)
-                score, ev32 = fwd[:, 0], fwd[:, 3]
-                ends = fwd[:, 1:3]
-                qcov32 = None
-            keep1 = ev32 <= np.float32(evalue_threshold)
-            if max_rejected:
-                aligned, carry, stopped = _max_rejected_mask(
-                    pairs_q, keep1, carry, int(max_rejected)
-                )
-            else:
-                aligned = np.ones(len(keep1), bool)
-                stopped = np.zeros(len(local), bool)
-            need_cov = aligned & keep1
-            if qcov32 is None:
-                qcov32 = np.zeros(len(keep1), np.float32)
-                if np.any(need_cov):
-                    qcov32[need_cov] = cov_fn(
-                        pairs_q[need_cov], pairs_p[need_cov],
-                        ends[need_cov],
-                    )
-            acc = need_cov & (qcov32 >= np.float32(min_qcov))
-            if np.any(acc):
-                a_q, a_p, a_s = pairs_q[acc], pairs_p[acc], score[acc]
-                order = np.lexsort((a_p, -a_s, a_q))
-                a_q, a_p, a_s = a_q[order], a_p[order], a_s[order]
-                first = np.concatenate([[True], a_q[1:] != a_q[:-1]])
-                bq, bp, bs = a_q[first], a_p[first], a_s[first]
-                better = (bs > best_score[bq]) | (
-                    (bs == best_score[bq]) & (bp < best_gid[bq])
-                )
-                best_score[bq[better]] = bs[better]
-                best_gid[bq[better]] = bp[better]
-            pos[local] += np.minimum(round_size, n_cands[local] - pos[local])
-            alive[local] = ~stopped & (pos[local] < n_cands[local])
+        sq, sp, spf = [], [], []
+        for li, qi in enumerate(q_idx):
+            ids, scores = cand_group[li]
+            if not len(ids):
+                continue
+            sq.append(np.full(len(ids), qi, np.int64))
+            sp.append(ids)
+            spf.append(scores)
+        if not sq:
+            return
+        pairs_q = np.concatenate(sq)
+        pairs_p = np.concatenate(sp)
+        if sharded:
+            stats = full_stats_fn(pairs_q, pairs_p)
+        else:
+            stats = fwd_fn(pairs_q, pairs_p)
+        rec_q.append(pairs_q)
+        rec_p.append(pairs_p)
+        rec_pf.append(np.concatenate(spf))
+        rec_stats.append(stats)
 
     # ---- pipeline: the host prefilter of group k+1 overlaps the device
     # alignment of group k (the C++ batch call releases the GIL; stage 2
@@ -877,37 +911,85 @@ def search(
             "weaker candidates dropped across the batch"
         )
 
-    out = {}
-    for qi in range(nq):
-        if not np.isfinite(best_score[qi]) or best_gid[qi] == _INT32_MAX:
-            continue
-        raw = float(best_score[qi])
-        gid = int(best_gid[qi])
+    # ---- finalize: stop rule -> coverage pass -> best hit ----
+    if not rec_q:
+        return {}
+    genes = np.concatenate(rec_q)
+    profs = np.concatenate(rec_p)
+    pf = np.concatenate(rec_pf)
+    stats = np.concatenate(rec_stats, axis=0)
+    raw = stats[:, 0]
+    ev32 = stats[:, 5] if sharded else stats[:, 3]
+    keep1 = ev32 <= np.float32(evalue_threshold)
+    if max_rejected:
+        # per-PROFILE sequential walk in swapped prefilter order: ungapped
+        # score desc, gene index asc on ties (the reference's swapresults
+        # sorts each profile's gene list by prefilter score; the tie order
+        # is our deterministic choice — documented in PARITY.md)
+        order = np.lexsort((genes, -pf, profs))
+        aligned_o, _, _ = _max_rejected_mask(
+            profs[order], keep1[order],
+            np.zeros(db.n_profiles, np.int64), int(max_rejected),
+        )
+        aligned = np.empty(len(genes), bool)
+        aligned[order] = aligned_o
+    else:
+        aligned = np.ones(len(genes), bool)
+    need_cov = aligned & keep1
+    if sharded:
+        pcov = stats[:, 6]
+    else:
+        pcov = np.zeros(len(genes), np.float32)
+        if np.any(need_cov):
+            pcov[need_cov] = cov_fn(
+                genes[need_cov], profs[need_cov], stats[need_cov, 1:3]
+            )
+    acc = need_cov & (pcov >= np.float32(min_cov))
+    out: dict = {}
+    if not np.any(acc):
+        return out
+    a_q, a_p, a_raw = genes[acc], profs[acc], raw[acc].astype(np.float64)
+    # best hit per gene: the head of the swapped-back list under
+    # Matcher::compareHits — for a fixed gene: int bitscore desc, profile
+    # length asc, profile id asc (E_report is monotone in int bits at
+    # fixed gene length and DB size, so E asc == bits desc)
+    a_bits = int_bitscore(a_raw, lam, kk)
+    a_plen = db.lengths[a_p].astype(np.int64)
+    order2 = np.lexsort((a_p, a_plen, -a_bits, a_q))
+    a_q, a_p, a_bits, a_plen = (
+        a_q[order2], a_p[order2], a_bits[order2], a_plen[order2]
+    )
+    first = np.concatenate([[True], a_q[1:] != a_q[:-1]])
+    for qi, gid, bits in zip(a_q[first], a_p[first], a_bits[first]):
+        qi, gid, bits = int(qi), int(gid), int(bits)
         row = (
             str(db.names[gid]),
-            float(evalue(raw, q_lengths[qi], db_positions, lam, kk)),
-            int(round(float(bitscore(raw, lam, kk)))),
+            float(evalue_from_bits(bits, q_lengths[qi], db_positions)),
+            bits,
             int(db.taxids[gid]) if db.taxids[gid] > 0 else 1,
         )
-        # _details appends (raw f32 score, profile id) — the in-batch
-        # selection key — so shard merges can use the identical key
-        out[query_names[qi]] = row + (raw, gid) if _details else row
+        # _details appends (profile length, profile id) — with the int
+        # bitscore already in the row, shard merges reconstruct the
+        # identical compareHits selection key
+        out[query_names[qi]] = row + (int(db.lengths[gid]), gid) if _details else row
     return out
 
 
 def _max_rejected_mask(seg_q, keep, carry, max_rejected):
     """Emulate MMseqs2's --max-rejected stop rule on batched results.
 
-    seg_q: (N,) query index per pair, grouped in contiguous segments with
-    pairs in candidate (prefilter-score) order; keep: (N,) pass-1 accept
-    flags; carry: per-query consecutive-rejection runs carried in from
-    earlier rounds.
+    seg_q: (N,) align-stage-QUERY index per pair — the PROFILE id in the
+    reference's swapped orientation — grouped in contiguous segments with
+    pairs in that query's candidate-list (swapped prefilter score) order;
+    keep: (N,) pass-1 accept flags; carry: per-segment-key
+    consecutive-rejection runs carried in (all zero for a single full-table
+    pass, which is how the production search applies the rule).
 
     Returns (aligned (N,) — pairs the reference would actually have
     aligned, updated carry, stopped (S,) flags aligned with the order of
     distinct segments in seg_q). A stop triggers AT the max_rejected-th
     consecutive rejection: that pair is aligned (and rejected), everything
-    after it in the query's list is not.
+    after it in the list is not.
     """
     n = len(keep)
     pos = np.arange(n, dtype=np.int64)
@@ -998,10 +1080,10 @@ def _pair_fwd_host(
     pb = _bucket_bound(db.lengths[pairs_p])
     pending = []
     for qb_i in np.unique(qb):
-        all_q_dev, qlen_dev = get_padded_queries(qb_i)
+        all_q_dev = get_padded_queries(qb_i)
         for pb_i in np.unique(pb[qb == qb_i]):
             sel = np.where((qb == qb_i) & (pb == pb_i))[0]
-            p_ids, all_p21_dev = get_staged_profiles(pb_i)
+            p_ids, all_p21_dev, plen_dev = get_staged_profiles(pb_i)
             cap = _chunk_size(_BOUNDS[pb_i])
             for chunk_start in range(0, len(sel), cap):
                 chunk = sel[chunk_start : chunk_start + cap]
@@ -1010,7 +1092,7 @@ def _pair_fwd_host(
                 idx[0, : len(chunk)] = pairs_q[chunk]
                 idx[1, : len(chunk)] = np.searchsorted(p_ids, pairs_p[chunk])
                 stats_dev = _sw_fwd_gate(
-                    all_q_dev, all_p21_dev, qlen_dev, jnp.asarray(idx), ka
+                    all_q_dev, all_p21_dev, plen_dev, jnp.asarray(idx), ka
                 )
                 pending.append((chunk, stats_dev))
     _fetch_pending(out, pending)
@@ -1026,7 +1108,7 @@ def _pair_cov_host(
     get_padded_queries,
     get_staged_profiles,
 ):
-    """(M,) reverse-pass query coverage for E-value survivors.
+    """(M,) reverse-pass PROFILE coverage for E-value survivors.
 
     ends: (M, 2) f32 forward (end_i, end_j) per pair."""
     M = len(pairs_q)
@@ -1035,10 +1117,10 @@ def _pair_cov_host(
     pb = _bucket_bound(db.lengths[pairs_p])
     pending = []
     for qb_i in np.unique(qb):
-        all_q_dev, qlen_dev = get_padded_queries(qb_i)
+        all_q_dev = get_padded_queries(qb_i)
         for pb_i in np.unique(pb[qb == qb_i]):
             sel = np.where((qb == qb_i) & (pb == pb_i))[0]
-            p_ids, all_p21_dev = get_staged_profiles(pb_i)
+            p_ids, all_p21_dev, plen_dev = get_staged_profiles(pb_i)
             cap = _chunk_size(_BOUNDS[pb_i])
             for chunk_start in range(0, len(sel), cap):
                 chunk = sel[chunk_start : chunk_start + cap]
@@ -1049,7 +1131,7 @@ def _pair_cov_host(
                 e = np.zeros((2, n_pad), np.float32)
                 e[:, : len(chunk)] = ends[chunk].T
                 cov_dev = _sw_rev_cov(
-                    all_q_dev, all_p21_dev, qlen_dev, jnp.asarray(idx),
+                    all_q_dev, all_p21_dev, plen_dev, jnp.asarray(idx),
                     jnp.asarray(e),
                 )
                 pending.append((chunk, cov_dev))
@@ -1061,8 +1143,8 @@ def _pair_cov_host(
 def _sharded_pair_stats_program(
     mesh,
     all_q: jnp.ndarray,
-    qlen: jnp.ndarray,
     p_stack: jnp.ndarray,
+    plen_stack: jnp.ndarray,
     idx_stack: jnp.ndarray,
     ka: jnp.ndarray,
     replicate_out: bool = False,
@@ -1072,11 +1154,12 @@ def _sharded_pair_stats_program(
     serial ``--splits`` chunking, genomad/mmseqs2.py:83-95), and the pair
     batch shards over BOTH mesh axes — the 'data' axis carries query-batch
     data parallelism, the reference's process-pool analog (SURVEY §2.5).
-    Each device aligns its pair slice and emits per-pair stats + f32 gate
-    columns (_gate_cols — identical to the single-device gate).
+    Each device aligns its pair slice and emits per-pair stats + the f32
+    profile-oriented gate columns (_gate_ev + profile coverage — identical
+    to the single-device gate).
 
-    all_q: (NQ, Lq) replicated; qlen: (NQ,) replicated;
-    p_stack: (n_db * P_loc, Lp, 21) sharded on 'db';
+    all_q: (NQ, Lq) replicated; p_stack: (n_db * P_loc, Lp, 21) sharded on
+    'db'; plen_stack: (n_db * P_loc,) profile lengths sharded on 'db';
     idx_stack: (n_data, n_db, 2, N) per-device (query row, local profile
     row). Returns (n_data, n_db, N, 7) sharded on ('data', 'db'), or —
     with ``replicate_out`` (multi-host mode) — all-gathered to every
@@ -1086,14 +1169,15 @@ def _sharded_pair_stats_program(
     """
     from jax.sharding import PartitionSpec as P
 
-    def body(all_q, qlen, p_loc, idx, ka):
+    def body(all_q, p_loc, plen_loc, idx, ka):
         idx = idx[0, 0]  # strip the per-device stack axes
         q = jnp.take(all_q, idx[0], axis=0)
         p = jnp.take(p_loc, idx[1], axis=0).astype(jnp.float32)
         stats = _pair_stats_ops(q, p)
-        ql = jnp.take(qlen, idx[0]).astype(jnp.float32)
-        ev, qcov = _gate_cols(stats[:, 0], stats[:, 1], stats[:, 3], ql, ka)
-        out = jnp.concatenate([stats, ev[:, None], qcov[:, None]], axis=1)
+        plen = jnp.take(plen_loc, idx[1]).astype(jnp.float32)
+        ev = _gate_ev(stats[:, 0], plen, ka)
+        pcov = (stats[:, 2] - stats[:, 4] + 1.0) / plen
+        out = jnp.concatenate([stats, ev[:, None], pcov[:, None]], axis=1)
         out = out[None, None]
         if replicate_out:
             out = jax.lax.all_gather(out, "data", axis=0, tiled=True)
@@ -1103,10 +1187,10 @@ def _sharded_pair_stats_program(
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P("db"), P("data", "db"), P()),
+        in_specs=(P(), P("db"), P("db"), P("data", "db"), P()),
         out_specs=P() if replicate_out else P("data", "db"),
         check_vma=False,
-    )(all_q, qlen, p_stack, idx_stack, ka)
+    )(all_q, p_stack, plen_stack, idx_stack, ka)
 
 
 def _pair_stats_sharded(
@@ -1138,10 +1222,10 @@ def _pair_stats_sharded(
     pb = _bucket_bound(db.lengths[pairs_p])
     pending = []
     for qb_i in np.unique(qb):
-        all_q_dev, qlen_dev = get_padded_queries(qb_i)
+        all_q_dev = get_padded_queries(qb_i)
         for pb_i in np.unique(pb[qb == qb_i]):
             sel = np.where((qb == qb_i) & (pb == pb_i))[0]
-            ids, p_loc, arr_dev = get_staged_shards(pb_i)
+            ids, p_loc, arr_dev, plen_dev = get_staged_shards(pb_i)
             local = np.searchsorted(ids, pairs_p[sel])
             owner = local // p_loc
             order = np.argsort(owner, kind="stable")
@@ -1171,8 +1255,8 @@ def _pair_stats_sharded(
                 stats_dev = _sharded_pair_stats_program(
                     mesh,
                     all_q_dev,
-                    qlen_dev,
                     arr_dev,
+                    plen_dev,
                     put_global(
                         idx_stack, NamedSharding(mesh, P("data", "db"))
                     ),
@@ -1189,26 +1273,30 @@ def _pair_stats_sharded(
 
 def search_sharded(query_names, query_seqs, db: ProfileDB, n_shards: int, **kwargs) -> dict:
     """DB-sharded search: run each shard independently and merge best hits
-    on (raw f32 score desc, global profile id asc) — the SAME key as
-    ``search``'s in-batch best-hit selection, so the result is identical
-    to a single-shard search at any shard count (an integer-bitscore merge
-    key previously allowed two raw scores that round to the same bitscore
-    to pick different winners across the two paths).
+    on (int bitscore desc, profile length asc, global profile id asc) —
+    the SAME Matcher::compareHits key as ``search``'s in-batch best-hit
+    selection (the reference's swapped-back E-value is a pure function of
+    the int bitscore at fixed gene length and DB size, so E asc == bits
+    desc), so the result is identical to a single-shard search at any
+    shard count. The align-stage E-gate's search space is the protein
+    query set (shard-invariant by construction); ``db_positions`` passes
+    the FULL DB size so reported E-values are shard-invariant too.
 
     On a pod this maps shards onto the 'db' mesh axis; the merge is an
     allreduce-argmax over shards. The host-loop version here exercises the
     identical merge semantics.
     """
-    merged: dict[str, tuple] = {}  # q -> (raw, global gid, 4-tuple result)
+    merged: dict[str, tuple] = {}  # q -> ((-bits, plen, g_gid), 4-tuple)
     kwargs.setdefault("db_positions", max(db.total_positions, 1))
     for shard_i in range(n_shards):
         shard = db.shard(n_shards, shard_i)
         hits = search(query_names, query_seqs, shard, _details=True, **kwargs)
-        for q, (target, ev, bits, taxid, raw, gid) in hits.items():
+        for q, (target, ev, bits, taxid, plen, gid) in hits.items():
             # shards are strided (profiledb.ProfileDB.shard): local id ->
             # global id recovers search()'s exact tie-break ordering
             g_gid = shard_i + n_shards * gid
+            key = (-bits, plen, g_gid)
             cur = merged.get(q)
-            if cur is None or raw > cur[0] or (raw == cur[0] and g_gid < cur[1]):
-                merged[q] = (raw, g_gid, (target, ev, bits, taxid))
-    return {q: v[2] for q, v in merged.items()}
+            if cur is None or key < cur[0]:
+                merged[q] = (key, (target, ev, bits, taxid))
+    return {q: v[1] for q, v in merged.items()}

@@ -224,17 +224,66 @@ def test_max_rejected_mask_matches_sequential_oracle():
             assert stopped[si] == exp_stop, (trial, q)
 
 
-def test_search_max_rejected_truncates():
-    """With a tiny max_rejected, a query whose candidate list interleaves
-    strong and weak candidates keeps only the pre-stop accepts."""
-    db = ProfileDB.synthetic(seed=33, n_profiles=400, min_len=60, max_len=120)
-    rng = np.random.default_rng(7)
-    target = 123
-    seq = "".join("ACDEFGHIKLMNPQRSTVWY"[r] for r in db.consensus(target))
-    # uncapped: finds the planted target
-    full = protein_search.search(["q"], [seq], db)
-    assert full and full["q"][0] == str(db.names[target])
-    # max_rejected=1: stops after the first rejection; the planted hit is
-    # the top-scoring candidate, so it must still win
-    trunc = protein_search.search(["q"], [seq], db, max_rejected=1)
-    assert trunc and trunc["q"][0] == str(db.names[target])
+def _gate_evs(db, names, seqs, targets):
+    """Per-gene align-stage gate E-values (profile-as-query: K * plen *
+    n_set * exp(-lambda*raw)), with raw recovered from the reported int
+    bitscore (within 0.5 bit)."""
+    full = protein_search.search(names, seqs, db, evalue_threshold=1e3)
+    lam, kk = protein_search.KA_LAMBDA, protein_search.KA_K
+    n_set = sum(len(s) for s in seqs)
+    out = {}
+    for n, t in zip(names, targets):
+        assert full[n][0] == str(db.names[t]), (n, full[n])
+        raw = (full[n][2] * protein_search.LN2 + np.log(kk)) / lam
+        out[n] = kk * int(db.lengths[t]) * n_set * np.exp(-lam * raw)
+    return out
+
+
+def test_search_max_rejected_drops_later_accept():
+    """--max-rejected walks each PROFILE's candidate-gene list in swapped
+    prefilter order (ungapped score desc): a gene with a LOWER prefilter
+    score but a HIGHER full-SW score than an earlier rejected gene is
+    never aligned once the stop fires — the reference's heuristic loses
+    that would-be accept, and so must this engine.
+
+    g_frag: exact 40-residue consensus fragment -> high ungapped diagonal
+    score, modest total SW score. g_mut: full-length homolog with every
+    3rd residue mutated -> every diagonal window is interrupted (lower
+    prefilter score) but the total SW score is far higher."""
+    db = ProfileDB.synthetic(
+        seed=41, n_profiles=300, min_len=100, max_len=140, integral=True
+    )
+    target = 57
+    cons = db.consensus(target)
+    rng = np.random.default_rng(2)
+    mut = cons.copy()
+    pos = np.arange(0, len(mut), 3)
+    mut[pos] = (mut[pos] + 1 + rng.integers(0, N_AA - 1, len(pos))) % N_AA
+    names = ["g_frag", "g_mut"]
+    seqs = [
+        "".join(ALPHABET[r] for r in cons[:40]),
+        "".join(ALPHABET[r] for r in mut),
+    ]
+    evs = _gate_evs(db, names, seqs, [target, target])
+    # the full-length homolog out-scores the fragment by a wide margin
+    assert evs["g_mut"] * 1e4 < evs["g_frag"], evs
+    thr = float(np.sqrt(evs["g_mut"] * evs["g_frag"]))
+    # no stop rule: g_mut passes the gate, g_frag is rejected by E
+    base = protein_search.search(
+        names, seqs, db, evalue_threshold=thr, max_rejected=0
+    )
+    assert base.get("g_mut", ("",))[0] == str(db.names[target])
+    assert "g_frag" not in base
+    # stop rule at 1: g_frag walks FIRST (higher prefilter score), its
+    # rejection stops the profile's list, and g_mut is never aligned
+    trunc = protein_search.search(
+        names, seqs, db, evalue_threshold=thr, max_rejected=1
+    )
+    assert "g_mut" not in trunc and "g_frag" not in trunc
+    # an ACCEPT before the weaker candidate resets the run instead:
+    # threshold admitting both keeps both
+    both = protein_search.search(
+        names, seqs, db, evalue_threshold=float(evs["g_frag"] * 4), max_rejected=1
+    )
+    assert both.get("g_mut", ("",))[0] == str(db.names[target])
+    assert both.get("g_frag", ("",))[0] == str(db.names[target])

@@ -88,7 +88,7 @@ def test_production_search_sharded_matches_host():
 
 def test_gate_threshold_edge_consistency():
     """E-value-marginal pairs pass or fail IDENTICALLY on the host and
-    DB-sharded paths: both gate through the same on-device f32 _gate_cols.
+    DB-sharded paths: both gate through the same on-device f32 _gate_ev.
 
     The threshold sweep pins the gate to each hit's own E-value (exactly
     at, just below, just above), so at least one sweep point sits within
@@ -114,39 +114,49 @@ def test_gate_threshold_edge_consistency():
                 assert host[q][2] == shard[q][2], f"thr={thr!r} {q}"
 
 
-def test_shard_merge_raw_score_tiebreak():
-    """Two raw scores that round to the SAME integer bitscore must pick the
-    same winner in search_sharded as in search: the merge key is the raw
-    f32 score + global profile id (search's in-batch selection key), not
-    the rounded bitscore + name."""
+def test_shard_merge_compare_hits_tiebreak():
+    """The best-hit/merge key is Matcher::compareHits after the swap back:
+    int bitscore desc, then PROFILE LENGTH asc, then profile id asc — and
+    search_sharded must apply the identical key across shards.
+
+    Two profiles whose raw scores round to the same integer bitscore but
+    whose lengths differ: the SHORTER profile must win even though the
+    longer one has the higher raw score (the reference's reported E is a
+    pure function of the int bitscore, so raw-score differences below the
+    rounding step are invisible to its sort)."""
     from genomad_tpu.ops import protein_search
     from genomad_tpu.ops.profiledb import ALPHABET
 
     L = 40
     res = np.arange(L) % 20
     strong = np.full((L, N_AA), -5.0, np.float32)
-    strong[np.arange(L), res] = 2.0  # raw 80.0
-    weak = np.full((L, N_AA), -5.0, np.float32)
+    strong[np.arange(L), res] = 2.0  # raw 80.0, plen 40
+    weak = np.full((L + 4, N_AA), -5.0, np.float32)
     weak[np.arange(L), res] = 2.0
-    weak[0, res[0]] = 1.8  # raw 79.8 — rounds to the same int bitscore as 80
-    # the stronger profile's name sorts LARGER, so a bitscore+name merge
-    # would pick the weak profile; ids put them on different shards
-    db = ProfileDB.from_profiles(["b_strong", "a_weak"], [strong, weak])
+    weak[0, res[0]] = 1.8  # raw 79.8 — same int bitscore, plen 44
+    # id order puts the LONGER profile first: a key missing the plen
+    # tie-break would pick it; ids land on different shards
+    db = ProfileDB.from_profiles(["a_long_weak", "b_short_strong"], [weak, strong])
     names, seqs = ["q"], ["".join(ALPHABET[r] for r in res)]
 
     full = protein_search.search(names, seqs, db)
-    assert full["q"][0] == "b_strong"
+    assert full["q"][0] == "b_short_strong"
     # sanity: the rounding edge is real — both profiles alone give the
     # same integer bitscore
     lone_weak = protein_search.search(
-        names, seqs, db.shard(2, 1), db_positions=db.total_positions
+        names, seqs, db.shard(2, 0), db_positions=db.total_positions
     )
     assert full["q"][2] == lone_weak["q"][2]
 
     sharded = protein_search.search_sharded(names, seqs, db, n_shards=2)
-    assert sharded["q"][0] == full["q"][0]
-    assert sharded["q"][2:] == full["q"][2:]
-    np.testing.assert_allclose(sharded["q"][1], full["q"][1], rtol=1e-5)
+    assert sharded["q"] == full["q"]
+
+    # equal bitscore AND equal length -> smaller profile id wins
+    twin = ProfileDB.from_profiles(["p0", "p1"], [strong, strong.copy()])
+    t_full = protein_search.search(names, seqs, twin)
+    assert t_full["q"][0] == "p0"
+    t_sharded = protein_search.search_sharded(names, seqs, twin, n_shards=2)
+    assert t_sharded["q"] == t_full["q"]
 
 
 def test_production_search_sharded_matches_host_loop():
