@@ -21,6 +21,7 @@ null; see BASELINE.md.
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -31,6 +32,33 @@ import numpy as np
 WINDOW_BP = 6_000
 AA_PER_MBP = 300_000.0  # ~90% coding density, 3 nt per residue
 REPO = Path(__file__).resolve().parent
+# Median-of-N repeats: host timing on this shared 2-vCPU VM is +/-50%
+# noisy run-to-run, so every steady-state number is the median of N_REPS
+# back-to-back in-process repeats with the min..max spread reported
+# alongside (VERDICT r4 weak #2 — single-shot numbers are not
+# reproducible between the builder's runs and the driver's capture).
+N_REPS = int(os.environ.get("GENOMAD_BENCH_REPS", "3"))
+
+
+def _timed_reps(fn, n=None):
+    """Run ``fn`` n times; return per-rep elapsed seconds."""
+    out = []
+    for _ in range(n or N_REPS):
+        t0 = time.perf_counter()
+        fn()
+        out.append(time.perf_counter() - t0)
+    return out
+
+
+def _rate_stats(work, elapsed_list):
+    """Median rate + spread for a fixed amount of work per rep."""
+    rates = sorted(work / e for e in elapsed_list)
+    return {
+        "median": statistics.median(rates),
+        "min": rates[0],
+        "max": rates[-1],
+        "n_reps": len(rates),
+    }
 
 
 def measured_baseline_mbps() -> float | None:
@@ -60,14 +88,21 @@ def bench_nn(jax, jnp) -> tuple[float, int]:
     # not reliable on the axon platform)
     np.asarray(forward(tokens_dev))
     n_iters = 6
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(tokens_dev)
-    np.asarray(out)
-    elapsed = time.perf_counter() - start
-    mbps = n_iters * batch_size * WINDOW_BP / elapsed / 1e6
-    print(f"# nn batch={batch_size}: {mbps:.2f} Mbp/s ({elapsed / n_iters * 1e3:.1f} ms/batch)", file=sys.stderr)
-    return mbps, batch_size
+
+    def block():
+        for _ in range(n_iters):
+            out = forward(tokens_dev)
+        np.asarray(out)
+
+    stats = _rate_stats(
+        n_iters * batch_size * WINDOW_BP / 1e6, _timed_reps(block)
+    )
+    print(
+        f"# nn batch={batch_size}: {stats['median']:.2f} Mbp/s median of "
+        f"{stats['n_reps']} ({stats['min']:.2f}..{stats['max']:.2f})",
+        file=sys.stderr,
+    )
+    return stats, batch_size
 
 
 def _bench_db(n_profiles: int):
@@ -118,21 +153,32 @@ def bench_search(n_profiles: int, n_queries: int = 500) -> dict:
         seqs.append("".join(ALPHABET[r] for r in seq))
     total_residues = sum(len(s) for s in seqs)
 
+    t0 = time.perf_counter()
     protein_search.search(names, seqs, db)  # cold: staging + compiles
-    start = time.perf_counter()
-    hits = protein_search.search(names, seqs, db)
-    elapsed = time.perf_counter() - start
-    kaa_s = total_residues / elapsed / 1e3
-    mbps_eq = total_residues / elapsed / AA_PER_MBP
+    cold = time.perf_counter() - t0
+    hits = {}
+
+    def rep():
+        nonlocal hits
+        hits = protein_search.search(names, seqs, db)
+
+    stats = _rate_stats(total_residues / 1e3, _timed_reps(rep))
+    kaa_s = stats["median"]
+    mbps_eq = kaa_s * 1e3 / AA_PER_MBP
     print(
         f"# search {n_profiles} profiles x {n_queries} queries: "
-        f"{kaa_s:.1f} kaa/s = {mbps_eq:.4f} Mbp/s-eq, {len(hits)} hits",
+        f"{kaa_s:.1f} kaa/s median of {stats['n_reps']} "
+        f"({stats['min']:.1f}..{stats['max']:.1f}) = {mbps_eq:.4f} "
+        f"Mbp/s-eq, {len(hits)} hits, cold {cold:.1f}s",
         file=sys.stderr,
     )
     return {
         "metric": f"marker_search_steady_state(n_profiles={n_profiles},n_queries={n_queries})",
         "value": round(kaa_s, 2),
         "unit": "k_residues/s",
+        "spread_kaa_s": [round(stats["min"], 2), round(stats["max"], 2)],
+        "n_reps": stats["n_reps"],
+        "cold_seconds": round(cold, 1),
         "mbps_equivalent_input": round(mbps_eq, 4),
         "vs_baseline": None,
         "note": "reference CPU MMseqs2 unmeasurable here (no mmseqs binary, no network); host prefilter runs on 2 vCPUs (production TPU hosts have 20+ per chip)",
@@ -184,20 +230,24 @@ def bench_gene_calling(total_mbp: float = 4.0) -> dict:
     t0 = time.perf_counter()
     n_genes = sum(len(finder.find_genes(s)) for s in seqs)
     t_call = time.perf_counter() - t0
-    # the full file-level driver (FASTA -> protein FASTA, threaded)
+    # the full file-level driver (FASTA -> protein FASTA, threaded),
+    # median of N_REPS full runs (each includes the self-training pass —
+    # that IS the pipeline when no trained tables are installed)
     with tempfile.TemporaryDirectory() as td:
         fasta = Path(td) / "input.fna"
         with open(fasta, "w") as f:
             for h, s in records:
                 f.write(f">{h}\n{s}\n")
         out = Path(td) / "proteins.faa"
-        start = time.perf_counter()
-        gc.Prodigal(fasta, out).run_parallel_prodigal()
-        elapsed = time.perf_counter() - start
-    mbps = total_bp / elapsed / 1e6
+        stats = _rate_stats(
+            total_bp / 1e6,
+            _timed_reps(lambda: gc.Prodigal(fasta, out).run_parallel_prodigal()),
+        )
+    mbps = stats["median"]
     print(
-        f"# gene calling: {total_bp / 1e6:.1f} Mbp in {elapsed:.1f}s = "
-        f"{mbps:.3f} Mbp/s pipeline ({n_genes} genes; train "
+        f"# gene calling: {total_bp / 1e6:.1f} Mbp, {mbps:.3f} Mbp/s "
+        f"pipeline median of {stats['n_reps']} "
+        f"({stats['min']:.3f}..{stats['max']:.3f}; {n_genes} genes; train "
         f"{total_bp / t_train / 1e6:.2f} Mbp/s, steady-state calling "
         f"{total_bp / t_call / 1e6:.2f} Mbp/s single-thread)",
         file=sys.stderr,
@@ -206,6 +256,8 @@ def bench_gene_calling(total_mbp: float = 4.0) -> dict:
         "metric": f"gene_calling(total_mbp={total_mbp})",
         "value": round(mbps, 3),
         "unit": "Mbp/s",
+        "spread_mbps": [round(stats["min"], 3), round(stats["max"], 3)],
+        "n_reps": stats["n_reps"],
         "n_genes": n_genes,
         "train_mbps": round(total_bp / t_train / 1e6, 3),
         "call_mbps_single_thread": round(total_bp / t_call / 1e6, 3),
@@ -266,29 +318,39 @@ def bench_end_to_end(total_mbp: float = 2.0, n_profiles: int = 227_897) -> dict:
         cold = time.perf_counter() - start
         # steady state: same pipeline with programs compiled and the DB
         # staged (the deployment regime — a service classifies many inputs
-        # per process); --restart forces full recompute
-        start = time.perf_counter()
-        run_end_to_end(fasta, out_dir, db_dir, verbose=False, restart=True)
-        elapsed = time.perf_counter() - start
+        # per process); --restart forces full recompute; median of N_REPS
+        stats = _rate_stats(
+            total_bp / 1e6,
+            _timed_reps(
+                lambda: run_end_to_end(
+                    fasta, out_dir, db_dir, verbose=False, restart=True
+                )
+            ),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    mbps = total_bp / elapsed / 1e6
+    mbps = stats["median"]
     print(
-        f"# end-to-end: {total_bp / 1e6:.1f} Mbp in {elapsed:.1f}s steady = "
-        f"{mbps:.3f} Mbp/s (cold first run incl. compiles: {cold:.1f}s)",
+        f"# end-to-end: {total_bp / 1e6:.1f} Mbp, {mbps:.3f} Mbp/s steady "
+        f"median of {stats['n_reps']} ({stats['min']:.3f}.."
+        f"{stats['max']:.3f}; cold first run incl. compiles: {cold:.1f}s)",
         file=sys.stderr,
     )
     return {
         "metric": f"end_to_end(total_mbp={total_mbp},n_profiles={n_profiles})",
         "value": round(mbps, 4),
         "unit": "Mbp/s",
+        "spread_mbps": [round(stats["min"], 4), round(stats["max"], 4)],
+        "n_reps": stats["n_reps"],
         "cold_run_seconds": round(cold, 1),
         "vs_baseline": None,
         "note": (
             f"full pipeline FASTA->summary on a synthetic "
             f"{n_profiles}-profile (production-scale) DB with the NN "
-            "branch overlapping the marker search; steady state (2nd "
-            "run, --restart), cold first-run time reported alongside"
+            "branch overlapping the marker search; steady state "
+            "(--restart reruns), cold first-run time reported alongside "
+            "(includes one-time k-mer-index/i8-cache builds when /tmp "
+            "starts empty)"
         ),
     }
 
@@ -300,8 +362,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    nn_mbps, batch = bench_nn(jax, jnp)
-    extra = {"baseline_nn_cpu_mbps_measured": measured_baseline_mbps()}
+    nn_stats, batch = bench_nn(jax, jnp)
+    nn_mbps = nn_stats["median"]
+    extra = {
+        "baseline_nn_cpu_mbps_measured": measured_baseline_mbps(),
+        "nn_spread_mbps": [round(nn_stats["min"], 3), round(nn_stats["max"], 3)],
+        "nn_n_reps": nn_stats["n_reps"],
+    }
     for key, fn in [
         ("search_20k", lambda: bench_search(20_000)),
         ("search_227k", lambda: bench_search(227_897)),

@@ -65,6 +65,8 @@ def get_library():
         ctypes.c_float,                   # min_ungapped_score
         ctypes.POINTER(ctypes.c_float),   # subst (20x20; NULL = exact only)
         ctypes.c_float,                   # kmer_thr
+        ctypes.c_float,                   # kmer_slack (tables at thr-slack)
+        ctypes.POINTER(ctypes.c_int32),   # comp-bias ints (NULL = off)
         ctypes.POINTER(ctypes.c_int32),   # out_profiles
         ctypes.POINTER(ctypes.c_float),   # out_scores (NULL = discard)
         ctypes.POINTER(ctypes.c_int64),   # out_counts (uncapped totals)
@@ -87,6 +89,8 @@ def get_library():
         ctypes.c_float,                   # min_ungapped_score
         ctypes.POINTER(ctypes.c_float),   # subst (20x20; NULL = exact only)
         ctypes.c_float,                   # kmer_thr
+        ctypes.c_float,                   # kmer_slack (tables at thr-slack)
+        ctypes.POINTER(ctypes.c_int32),   # comp-bias ints (NULL = off)
         ctypes.POINTER(ctypes.c_int32),   # out_profiles
         ctypes.POINTER(ctypes.c_float),   # out_scores (NULL = discard)
         ctypes.c_int64,                   # max_out
@@ -107,11 +111,15 @@ def native_prefilter_batch(
     max_out_per_query: int = 8_192,
     n_threads: int | None = None,
     kmer_thr: float | None = None,
+    bias_list=None,
 ):
     """Multithreaded batch prefilter over all queries at once.
 
     ``kmer_thr``: BLOSUM62 similar-k-mer score threshold for query-side
     k-mer expansion (ops.blosum.kmer_score_threshold); None = exact k-mers.
+    ``bias_list``: per-query int32 composition-bias arrays
+    (blosum.comp_bias) applied to diagonal scores and expansion
+    thresholds (MMseqs2 --comp-bias-corr 1); None = off.
 
     Returns (per-query candidate id arrays sorted by ungapped score
     descending, per-query score arrays in the same order, total dropped
@@ -142,6 +150,17 @@ def native_prefilter_batch(
     out = np.zeros((n_queries, max_out_per_query), np.int32)
     out_scores = np.zeros((n_queries, max_out_per_query), np.float32)
     counts = np.zeros(n_queries, np.int64)
+    if bias_list is not None:
+        bias_all = np.ascontiguousarray(np.concatenate(bias_list), np.int32)
+        assert len(bias_all) == residue_offsets[-1]
+        bias_arg = _ptr(bias_all, ctypes.c_int32)
+        from genomad_tpu.ops.blosum import COMP_BIAS_SLACK
+
+        slack = float(COMP_BIAS_SLACK)
+    else:
+        bias_all = None
+        bias_arg = ctypes.POINTER(ctypes.c_int32)()
+        slack = 0.0
     lib.prefilter_batch(
         _ptr(code_table, ctypes.c_int32),
         _ptr(entry_pairs, ctypes.c_int32),
@@ -157,6 +176,8 @@ def native_prefilter_batch(
         _ptr(lengths, ctypes.c_int32),
         float(min_ungapped_score),
         *_subst_args(kmer_thr),
+        slack,
+        bias_arg,
         _ptr(out, ctypes.c_int32),
         _ptr(out_scores, ctypes.c_float),
         _ptr(counts, ctypes.c_int64),
@@ -192,6 +213,17 @@ def _pssm8_arg(db):
     return _ptr(p8, ctypes.c_int8)
 
 
+def _bias_args(bias):
+    """(slack, bias pointer) ctypes args for comp-bias correction."""
+    if bias is None:
+        return (0.0, ctypes.POINTER(ctypes.c_int32)())
+    from genomad_tpu.ops.blosum import COMP_BIAS_SLACK
+
+    b = np.ascontiguousarray(bias, np.int32)
+    _bias_args._keepalive = b  # pin until the call returns
+    return (float(COMP_BIAS_SLACK), _ptr(b, ctypes.c_int32))
+
+
 def _subst_args(kmer_thr: float | None):
     """(subst pointer, threshold) ctypes args for the expansion mode."""
     if kmer_thr is None:
@@ -210,10 +242,11 @@ def native_prefilter_query(
     min_ungapped_score: float,
     max_out: int = 100_000,
     kmer_thr: float | None = None,
+    bias=None,
 ):
     """Native prefilter (see prefilter.cpp). Returns (profile ids, ungapped
     scores) sorted by score descending, or None when the native library is
-    unavailable."""
+    unavailable. ``bias``: int32 comp-bias array (blosum.comp_bias)."""
     lib = get_library()
     if lib is None:
         return None
@@ -241,6 +274,7 @@ def native_prefilter_query(
         _ptr(lengths, ctypes.c_int32),
         float(min_ungapped_score),
         *_subst_args(kmer_thr),
+        *_bias_args(bias),
         _ptr(out, ctypes.c_int32),
         _ptr(out_scores, ctypes.c_float),
         max_out,

@@ -303,6 +303,7 @@ struct Scratch {
     //   qvalid[t] = -1 for a scoring residue, 0 for unknown (score 0)
     std::vector<int32_t> qidx;
     std::vector<int32_t> qvalid;
+    std::vector<int32_t> qbias;
 
     void ensure(int64_t n_profiles) {
         if (static_cast<int64_t>(last.size()) < n_profiles ||
@@ -329,6 +330,12 @@ struct QueryView {
     int64_t len;
     int32_t* out_profiles;
     float* out_scores;  // may be null
+    // per-position integer composition-bias corrections (MMseqs2
+    // --comp-bias-corr 1, computed host-side by blosum.comp_bias);
+    // null = correction off. Added to diagonal-scan scores; the k-mer
+    // expansion threshold drops by the k-window's bias sum (clamped at
+    // the slack the tables were built with).
+    const int32_t* bias;
 };
 
 // Core engine over a GROUP of up to G_MAX queries. Each query's hits run
@@ -353,6 +360,8 @@ static void prefilter_group_impl(
     const int32_t* lengths,
     float min_ungapped_score,
     const ExpTables* tables,
+    float kmer_thr_nominal,  // un-slacked threshold (tables may be built
+                             // lower to absorb positive bias sums)
     int64_t* out_counts,
     int64_t max_out,
     Scratch& scratch) {
@@ -376,18 +385,22 @@ static void prefilter_group_impl(
     if (pssm8) {
         scratch.qidx.resize(qidx_off[G]);
         scratch.qvalid.resize(qidx_off[G]);
+        scratch.qbias.resize(qidx_off[G]);
         for (int g = 0; g < G; ++g) {
             int32_t* qi = scratch.qidx.data() + qidx_off[g];
             int32_t* qv = scratch.qvalid.data() + qidx_off[g];
+            int32_t* qb = scratch.qbias.data() + qidx_off[g];
             for (int64_t t = 0; t < qs[g].len; ++t) {
                 const int8_t r = qs[g].residues[t];
                 const bool v = r < NAA;
                 qi[t] = static_cast<int32_t>(t * NAA + (v ? r : 0));
                 qv[t] = v ? -1 : 0;
+                qb[t] = (v && qs[g].bias) ? qs[g].bias[t] : 0;
             }
             for (int i = 0; i < 16; ++i) {
                 qi[qs[g].len + i] = 0;
                 qv[qs[g].len + i] = 0;
+                qb[qs[g].len + i] = 0;
             }
         }
     }
@@ -449,12 +462,25 @@ static void prefilter_group_impl(
             p1 = {b, e, q};
             h1 = true;
         };
+        // largest threshold reduction the tables can honor (they were
+        // built at nominal - slack when the bias correction is on)
+        const float bias_slack = kmer_thr_nominal - (expand ? tables->thr : 0.0f);
         for (int64_t q = 0; q < qs[g].n_codes; ++q) {
             int64_t code = qs[g].codes[q];
             if (code < 0) continue;
             if (!expand) {
                 push_hits(code, q);
                 continue;
+            }
+            float thr_eff = kmer_thr_nominal;
+            if (qs[g].bias) {
+                // bias sum over the k-mer's residue window lowers (or
+                // raises) the similarity bar, clamped at the table slack
+                int32_t kb = 0;
+                for (int t = 0; t < K; ++t) kb += qs[g].bias[q + t];
+                float kbf = static_cast<float>(kb);
+                if (kbf > bias_slack) kbf = bias_slack;
+                thr_eff -= kbf;
             }
             const int32_t c2 = static_cast<int32_t>(code / N3);
             const int32_t c3 = static_cast<int32_t>(code % N3);
@@ -466,8 +492,8 @@ static void prefilter_group_impl(
                 const float s2 = tables->l2_score[i2];
                 // l2 sorted desc: once even the best suffix fails, all
                 // remaining prefixes fail too
-                if (s2 + top3 < tables->thr) break;
-                const float need = tables->thr - s2;
+                if (s2 + top3 < thr_eff) break;
+                const float need = thr_eff - s2;
                 const int64_t base =
                     static_cast<int64_t>(tables->l2_code[i2]) * N3;
                 for (int64_t i3 = b3; i3 < e3; ++i3) {
@@ -588,6 +614,7 @@ static void prefilter_group_impl(
                 // safe too.
                 const int32_t* qidx = scratch.qidx.data() + qidx_off[g];
                 const int32_t* qvalid = scratch.qvalid.data() + qidx_off[g];
+                const int32_t* qbias = scratch.qbias.data() + qidx_off[g];
                 for (int64_t t0 = q_lo; t0 < q_hi; t0 += 16) {
                     const int rem =
                         static_cast<int>(std::min<int64_t>(16, q_hi - t0));
@@ -602,6 +629,10 @@ static void prefilter_group_impl(
                     gg = _mm512_and_si512(
                         gg, _mm512_loadu_si512(
                                 reinterpret_cast<const void*>(qvalid + t0)));
+                    // composition-bias correction (0 at invalid/off)
+                    gg = _mm512_add_epi32(
+                        gg, _mm512_loadu_si512(
+                                reinterpret_cast<const void*>(qbias + t0)));
                     gg = _mm512_maskz_mov_epi32(m, gg);
                     // Kadane as a max-plus prefix scan: each element is
                     // the affine-max map f(r) = max(r + s, 0), i.e. the
@@ -639,9 +670,11 @@ static void prefilter_group_impl(
                         _mm512_extracti32x4_epi32(vrun, 3), 3);
                 }
 #else
+                const int32_t* qb = qs[g].bias;
                 for (int64_t t = q_lo; t < q_hi; ++t) {
                     const int8_t res = qs[g].residues[t];
-                    const int32_t s = res < NAA ? prof[t * NAA + res] : 0;
+                    const int32_t s =
+                        res < NAA ? prof[t * NAA + res] + (qb ? qb[t] : 0) : 0;
                     running += s;
                     if (running < 0) running = 0;
                     if (running > best) best = running;
@@ -650,6 +683,7 @@ static void prefilter_group_impl(
                 bestf = static_cast<float>(best);
             } else {
                 const float* prof = pssm + (offsets[p] + diag) * NAA;
+                const int32_t* qb = qs[g].bias;
                 float running = 0.0f, best = 0.0f;
                 for (int64_t t = q_lo; t < q_hi; ++t) {
                     // f32 rows are 80 B apart — every step opens a new
@@ -659,7 +693,11 @@ static void prefilter_group_impl(
                     if (t + 8 < q_hi)
                         __builtin_prefetch(prof + (t + 8) * NAA);
                     const int8_t res = qs[g].residues[t];
-                    const float sc = res < NAA ? prof[t * NAA + res] : 0.0f;
+                    const float sc =
+                        res < NAA
+                            ? prof[t * NAA + res] +
+                                  (qb ? static_cast<float>(qb[t]) : 0.0f)
+                            : 0.0f;
                     running += sc;
                     if (running < 0.0f) running = 0.0f;
                     if (running > best) best = running;
@@ -739,19 +777,22 @@ int64_t prefilter_query(
     float min_ungapped_score,
     const float* subst,
     float kmer_thr,
+    float kmer_slack,         // tables built at kmer_thr - kmer_slack
+    const int32_t* bias,      // per-position comp-bias ints; null = off
     int32_t* out_profiles,
     float* out_scores,
     int64_t max_out) {
     const ExpTables* tables =
-        (subst != nullptr && kmer_thr < 1e30f) ? get_tables(subst, kmer_thr)
-                                               : nullptr;
+        (subst != nullptr && kmer_thr < 1e30f)
+            ? get_tables(subst, kmer_thr - kmer_slack)
+            : nullptr;
     Scratch scratch;
     QueryView qv{query_codes, n_codes, residues, query_length, out_profiles,
-                 out_scores};
+                 out_scores, bias};
     int64_t count = 0;
     prefilter_group_impl(code_table, entry_pairs, n_profiles, &qv, 1, pssm,
                          pssm8, offsets, lengths, min_ungapped_score, tables,
-                         &count, max_out, scratch);
+                         kmer_thr, &count, max_out, scratch);
     return count;
 }
 
@@ -777,6 +818,9 @@ int64_t prefilter_batch(
     float min_ungapped_score,
     const float* subst,
     float kmer_thr,
+    float kmer_slack,         // tables built at kmer_thr - kmer_slack
+    const int32_t* bias_all,  // concatenated per-position comp-bias ints
+                              // (residue_offsets layout); null = off
     int32_t* out_profiles,  // (n_queries, max_out_per_query)
     float* out_scores,      // (n_queries, max_out_per_query) or nullptr
     int64_t* out_counts,    // (n_queries)
@@ -784,8 +828,9 @@ int64_t prefilter_batch(
     int32_t n_threads) {
     if (n_threads < 1) n_threads = 1;
     const ExpTables* tables =
-        (subst != nullptr && kmer_thr < 1e30f) ? get_tables(subst, kmer_thr)
-                                               : nullptr;
+        (subst != nullptr && kmer_thr < 1e30f)
+            ? get_tables(subst, kmer_thr - kmer_slack)
+            : nullptr;
     std::atomic<int64_t> next{0};
     auto worker = [&]() {
         Scratch scratch;
@@ -804,12 +849,13 @@ int64_t prefilter_batch(
                     residue_offsets[q + 1] - residue_offsets[q],
                     out_profiles + q * max_out_per_query,
                     out_scores ? out_scores + q * max_out_per_query
-                               : nullptr};
+                               : nullptr,
+                    bias_all ? bias_all + residue_offsets[q] : nullptr};
             }
             prefilter_group_impl(code_table, entry_pairs, n_profiles, qv, G,
                                  pssm, pssm8, offsets, lengths,
-                                 min_ungapped_score, tables, out_counts + q0,
-                                 max_out_per_query, scratch);
+                                 min_ungapped_score, tables, kmer_thr,
+                                 out_counts + q0, max_out_per_query, scratch);
         }
     };
     std::vector<std::thread> threads;

@@ -57,6 +57,68 @@ _PERM = np.array([_CANON_ORDER.index(aa) for aa in ALPHABET])
 BLOSUM62 = np.ascontiguousarray(_CANON[np.ix_(_PERM, _PERM)])
 
 
+# --- local composition-bias correction (MMseqs2 --comp-bias-corr 1) --------
+#
+# geNomad's search chain inherits MMseqs2's default composition-bias
+# correction silently (it passes no --comp-bias-corr flag —
+# genomad/mmseqs2.py:76-96). MMseqs2's SubstitutionMatrix::
+# calcLocalAaBiasCorrection computes, per query position i over a
+# 40-residue window [i-20, i+20):
+#
+#   deltaS_i = -(sum_{j in window} s(q_i, q_j) - s(q_i, q_i)) / (wl - 1)
+#              + sum_a pBack_a * s(q_i, a)
+#
+# i.e. the expected background score of residue q_i minus its mean score
+# against its own neighborhood — strongly negative inside low-complexity /
+# compositionally biased runs. The correction is added per query position
+# to (a) the per-position score rows the similar-k-mer generator expands
+# (equivalently: the k-mer threshold rises by the window's bias sum) and
+# (b) the ungapped diagonal scores of the prefilter. The align stage is
+# NOT corrected here: in the reference's swapped orientation the align
+# query is a PROFILE, and the sequence-side bias correction is a
+# query-side mechanism (see PARITY.md round-5 notes).
+#
+# Engine-specific choices (documented, shared bit-exactly by the numpy and
+# C++ paths): corrections are rounded half-up to integers (the int8
+# diagonal scan accumulates in int32 and must stay exact); invalid (X)
+# positions get bias 0 and contribute 0 inside windows while still
+# counting toward the window length; the per-k-mer threshold reduction is
+# clamped at COMP_BIAS_SLACK so the precomputed expansion tables (built
+# once at threshold - SLACK) stay exhaustive.
+
+COMP_BIAS_WINDOW = 40
+COMP_BIAS_SLACK = 16.0
+
+
+def comp_bias(residues: np.ndarray) -> np.ndarray:
+    """Rounded integer composition-bias corrections, one per position."""
+    from genomad_tpu.ops.statistics import BACKGROUND_FREQS
+
+    res = np.asarray(residues, np.int64)
+    L = len(res)
+    if L < 2:
+        return np.zeros(L, np.int32)
+    valid = res < N_AA
+    half = COMP_BIAS_WINDOW // 2
+    pos = np.arange(L)
+    lo = np.maximum(0, pos - half)
+    hi = np.minimum(L, pos + half)
+    wl = hi - lo
+    # windowed residue-type counts via cumulative sums: (N_AA, L+1)
+    onehot = np.zeros((N_AA, L + 1), np.int64)
+    onehot[res[valid], pos[valid] + 1] = 1
+    csum = np.cumsum(onehot, axis=1)
+    win_counts = csum[:, hi] - csum[:, lo]  # (N_AA, L)
+    rows = BLOSUM62[np.where(valid, res, 0)]  # (L, N_AA); row irrelevant at ~valid
+    win_sum = np.einsum("la,al->l", rows, win_counts.astype(np.float64))
+    self_score = rows[np.arange(L), np.where(valid, res, 0)]
+    bg = rows @ BACKGROUND_FREQS
+    denom = np.maximum(wl - 1, 1)
+    bias = -(win_sum - self_score) / denom + bg
+    bias = np.where(valid & (wl > 1), bias, 0.0)
+    return np.floor(bias + 0.5).astype(np.int32)
+
+
 def kmer_score_threshold(sensitivity: float) -> float:
     """Similar-k-mer score threshold (BLOSUM62 units, k=5) for an MMseqs2
     ``-s`` value. Linear, like MMseqs2's kmerThr(s): higher sensitivity

@@ -393,6 +393,7 @@ def prefilter_query(
     kmer_thr: float | None = None,
     expansion_cache: dict | None = None,
     drops: list | None = None,
+    bias: np.ndarray | None = None,
 ):
     """Candidate (profile ids, ungapped scores) for one query, sorted by
     score descending (profile id ascending on ties) — MMseqs2's prefilter
@@ -404,10 +405,14 @@ def prefilter_query(
 
     ``kmer_thr``: BLOSUM62 score threshold for query-side similar-k-mer
     expansion (MMseqs2 ``-s`` semantics, see ops.blosum); None = exact
-    k-mers only. ``expansion_cache``: shared {code: similar codes} memo
-    across queries of one search. ``drops``: when given, the number of
-    candidates dropped over ``max_candidates`` is appended (the caller
-    logs it — truncation is never silent).
+    k-mers only. ``expansion_cache``: shared {(code, bias sum): similar
+    codes} memo across queries of one search. ``drops``: when given, the
+    number of candidates dropped over ``max_candidates`` is appended (the
+    caller logs it — truncation is never silent). ``bias``: per-position
+    integer composition-bias corrections (blosum.comp_bias — MMseqs2's
+    default --comp-bias-corr 1): added to the diagonal scores and, summed
+    over each k-mer window (clamped at blosum.COMP_BIAS_SLACK), subtracted
+    from the expansion threshold.
     """
     codes = encode_kmers(residues)
     qpos_all = np.arange(len(codes), dtype=np.int64)
@@ -416,14 +421,19 @@ def prefilter_query(
     if kmer_thr is not None and len(codes):
         from genomad_tpu.ops import blosum
 
+        if bias is not None:
+            kb_win = np.convolve(bias, np.ones(KMER_K, np.int64), "valid")
+            kb_win = np.minimum(kb_win, int(blosum.COMP_BIAS_SLACK))
         cache = expansion_cache if expansion_cache is not None else {}
         exp_codes, exp_qpos = [], []
         windows = np.lib.stride_tricks.sliding_window_view(residues, KMER_K)
         for code, q in zip(codes, qpos_all):
-            sim = cache.get(code)
+            kb = int(kb_win[q]) if bias is not None else 0
+            key = (int(code), kb)
+            sim = cache.get(key)
             if sim is None:
-                sim = blosum.similar_kmers(windows[q], kmer_thr)[0]
-                cache[code] = sim
+                sim = blosum.similar_kmers(windows[q], kmer_thr - kb)[0]
+                cache[key] = sim
             exp_codes.append(sim)
             exp_qpos.append(np.full(len(sim), q, np.int64))
         codes = np.concatenate(exp_codes) if exp_codes else codes
@@ -474,9 +484,10 @@ def prefilter_query(
     pi_c = np.minimum(pi, p_len[:, None] - 1)
     flat_rows = db.offsets[cand_profile][:, None] + pi_c
     res = residues[qi_c].astype(np.int64)
-    scores = np.where(
-        in_range & (res < N_AA), db.pssm[flat_rows, np.where(res < N_AA, res, 0)], 0.0
-    )
+    cell = db.pssm[flat_rows, np.where(res < N_AA, res, 0)]
+    if bias is not None:
+        cell = cell + bias[qi_c]
+    scores = np.where(in_range & (res < N_AA), cell, 0.0)
     ungapped = _max_subarray(scores)
     ok = ungapped >= min_ungapped_score
     prof_ok, score_ok = cand_profile[ok], ungapped[ok].astype(np.float32)
@@ -579,9 +590,15 @@ def search(
     max_seqs: int = 10_000_000,
     max_rejected: int = 280,
     n_threads: int | None = None,
+    comp_bias_corr: bool = True,
     _details: bool = False,
 ) -> dict:
     """Full search: prefilter -> batched SW -> profile-side gates -> best hit.
+
+    comp_bias_corr applies MMseqs2's default local composition-bias
+    correction (--comp-bias-corr 1, inherited silently by the reference —
+    see blosum.comp_bias) to the prefilter's k-mer expansion and diagonal
+    scores. The align stage is uncorrected (its query is a profile).
 
     Returns {query_name: (target, evalue, bitscore, taxid)} — the contract
     of MMseqs2.get_matches() (genomad/mmseqs2.py:198-212).
@@ -668,11 +685,17 @@ def search(
         max_rejected = 0
         kmer_thr = None
         index = None
+        bias_list = None
     else:
         from genomad_tpu.ops import blosum
 
         kmer_thr = blosum.kmer_score_threshold(sensitivity)
         index = db.kmer_index(1)  # consensus k-mers; sensitivity is query-side
+        bias_list = (
+            [blosum.comp_bias(r) for r in residues_list]
+            if comp_bias_corr
+            else None
+        )
 
     drop_total = [0]
 
@@ -686,10 +709,11 @@ def search(
         from genomad_tpu import native
 
         res_sub = [residues_list[i] for i in q_idx]
+        bias_sub = [bias_list[i] for i in q_idx] if bias_list is not None else None
         result = native.native_prefilter_batch(
             index, res_sub, db, min_ungapped_score,
             kmer_thr=kmer_thr, max_out_per_query=out_bound,
-            n_threads=n_threads,
+            n_threads=n_threads, bias_list=bias_sub,
         )
         if result is None:  # no C++ toolchain: numpy fallback
             cache: dict = {}
@@ -700,6 +724,7 @@ def search(
                     residues_list[i], db, index, min_ungapped_score,
                     max_candidates=out_bound, kmer_thr=kmer_thr,
                     expansion_cache=cache, drops=drop_list,
+                    bias=None if bias_list is None else bias_list[i],
                 )
                 out_list.append((ids.astype(np.int64), scores.astype(np.float32)))
             drop_total[0] += sum(drop_list)
@@ -1035,19 +1060,19 @@ def _fetch_pending(out: np.ndarray, pending) -> None:
         base += dev.shape[0]
 
 
-_MAX_CHUNK = 8192  # pair-chunk baseline (profile length 512)
-_CHUNK_BYTES = _MAX_CHUNK * 512 * (N_AA + 1) * 4  # gathered-operand budget
-
-
 def _chunk_size(Lp: int) -> int:
-    """Pairs per device dispatch for a profile-length bucket: the gathered
-    f32 profile operand is the dominant per-chunk HBM cost, so the chunk
-    count scales inversely with Lp under a fixed ~0.35 GB budget (floor
-    8192, cap 32768). Bigger chunks mean FEWER dispatches per round —
-    each dispatch carries fixed overhead that dominated stage 2 at small
-    DB scale on a tunneled device."""
-    n = max(1, _CHUNK_BYTES // (Lp * (N_AA + 1) * 4))
-    return max(8192, min(32768, 1 << (n.bit_length() - 1)))
+    """Pairs per device dispatch for a profile-length bucket.
+
+    Round-5 measured sweep on the tunneled v5e (Lq=256, gathered-operand
+    _sw_fwd_gate program): throughput peaks at ~2048 pairs/dispatch for
+    every Lp <= 512 (170-203 kpairs/s) and COLLAPSES up to 20x beyond
+    ~4096 (Lp=256: 203 kpairs/s at 1-2k, 9 kpairs/s at 16k — the round-4
+    0.35 GB-budget chunks of 8-16k pairs sat in that cliff all of round
+    4). The cliff tracks the gathered profile operand (B, Lp, 21) leaving
+    a cacheable size, so the cap scales down with Lp past 512. Dispatch
+    overhead is async and amortizes at this size (measured: consecutive
+    2048-pair dispatches sustain the per-dispatch peak)."""
+    return max(32, min(2048, (2048 * 512) // max(Lp, 1)))
 
 
 def _chunk_pad(n: int, total: int, cap: int) -> int:

@@ -167,3 +167,143 @@ def test_native_handles_unknown_residues(lib):
     residues = encode_protein("X" * 50)
     got = native.native_prefilter_query(index, residues, db, 25.0)
     assert got is not None and len(got[0]) == 0
+
+
+# --- composition-bias correction (MMseqs2 --comp-bias-corr 1) --------------
+
+
+def test_comp_bias_matches_direct_formula():
+    """blosum.comp_bias (vectorized) vs a literal loop transcription of
+    MMseqs2's SubstitutionMatrix::calcLocalAaBiasCorrection."""
+    from genomad_tpu.ops import blosum
+    from genomad_tpu.ops.statistics import BACKGROUND_FREQS
+
+    rng = np.random.default_rng(17)
+    for L in (1, 5, 30, 41, 200):
+        res = rng.integers(0, 20, L).astype(np.int8)
+        if L > 10:
+            res[3] = 20  # an invalid (X) position
+        got = blosum.comp_bias(res)
+        B = blosum.BLOSUM62
+        want = np.zeros(L, np.int32)
+        for i in range(L):
+            if res[i] >= 20 or L < 2:
+                continue
+            lo, hi = max(0, i - 20), min(L, i + 20)
+            wl = hi - lo
+            if wl <= 1:
+                continue
+            s = sum(
+                B[res[i], res[j]] for j in range(lo, hi) if res[j] < 20
+            ) - B[res[i], res[i]]
+            delta = -s / (wl - 1) + float(B[res[i]] @ BACKGROUND_FREQS)
+            want[i] = int(np.floor(delta + 0.5))
+        np.testing.assert_array_equal(got, want, err_msg=f"L={L}")
+
+
+def test_native_bias_matches_numpy_exact_mode(lib):
+    """Exact-k-mer mode scans full diagonals in both paths: with bias the
+    candidate sets and scores must stay bit-equal."""
+    from genomad_tpu.ops import blosum
+
+    db = ProfileDB.synthetic(
+        seed=61, n_profiles=80, min_len=60, max_len=150, integral=True
+    )
+    index = db.kmer_index(1)
+    for target in (3, 40, 79):
+        residues = db.consensus(target)[:90]
+        bias = blosum.comp_bias(residues)
+        expected = protein_search.prefilter_query(
+            residues, db, index, 25.0, bias=bias
+        )
+        got = native.native_prefilter_query(
+            index, residues, db, 25.0, bias=bias
+        )
+        assert got is not None
+        assert_cands_equal(got, expected)
+
+
+def test_native_bias_expansion_subset_of_exact(lib):
+    """Expansion mode with bias: the native engine's stamp-table/window
+    approximations make it a SUBSET of the exact numpy criterion, with
+    per-profile scores never exceeding the exact full-diagonal score —
+    the same relationship as without bias."""
+    from genomad_tpu.ops import blosum
+
+    db = ProfileDB.synthetic(
+        seed=71, n_profiles=500, min_len=60, max_len=200, integral=True
+    )
+    index = db.kmer_index(1)
+    rng = np.random.default_rng(2)
+    thr = blosum.kmer_score_threshold(4.2)
+    for trial in range(6):
+        t = int(rng.integers(0, 500))
+        seq = db.consensus(t).copy()
+        pos = rng.choice(len(seq), len(seq) // 8, replace=False)
+        seq[pos] = rng.integers(0, 20, len(pos))
+        seq = seq.astype(np.int8)
+        bias = blosum.comp_bias(seq)
+        ids_e, sc_e = protein_search.prefilter_query(
+            seq, db, index, 25.0, kmer_thr=thr, bias=bias,
+            max_candidates=db.n_profiles,
+        )
+        res = native.native_prefilter_batch(
+            index, [seq], db, 25.0, kmer_thr=thr,
+            max_out_per_query=db.n_profiles, bias_list=[bias],
+        )
+        assert res is not None
+        ids_n, sc_n = res[0][0], res[1][0]
+        exact = dict(zip(ids_e.tolist(), sc_e.tolist()))
+        for pid, s in zip(ids_n.tolist(), sc_n.tolist()):
+            assert pid in exact, f"trial {trial}: native-only candidate {pid}"
+            assert s <= exact[pid] + 1e-5
+        assert t in ids_n.tolist(), f"trial {trial}: planted target missed"
+
+
+def test_bias_prunes_low_complexity_candidates():
+    """A low-complexity query against a DB seeded with a low-complexity
+    profile: the bias correction must cut its candidate list (that is the
+    point of MMseqs2's default) while a planted true homolog search keeps
+    its target."""
+    from genomad_tpu.ops import blosum
+    from genomad_tpu.ops.profiledb import N_AA
+
+    rng = np.random.default_rng(5)
+    names, pssms = [], []
+    # 300 normal profiles + 20 low-complexity (A/L-repeat) profiles
+    base = ProfileDB.synthetic(
+        seed=13, n_profiles=300, min_len=60, max_len=120, integral=True
+    )
+    for i in range(300):
+        names.append(f"n{i}")
+        pssms.append(base.profile(i))
+    for i in range(20):
+        L = 80
+        cons = np.array(([0] * 6 + [9] * 6) * 7)[:L]
+        pssm = np.full((L, N_AA), -2.0, np.float32)
+        pssm[np.arange(L), cons] = 6.0
+        names.append(f"lc{i}")
+        pssms.append(pssm)
+    db = ProfileDB.from_profiles(names, pssms)
+    index = db.kmer_index(1)
+    thr = blosum.kmer_score_threshold(4.2)
+
+    lc_query = np.array(([0] * 6 + [9] * 6) * 10, np.int8)
+    i0, _ = protein_search.prefilter_query(
+        lc_query, db, index, 25.0, kmer_thr=thr, max_candidates=400
+    )
+    bias = blosum.comp_bias(lc_query)
+    assert bias.min() < 0, "low-complexity run must get negative bias"
+    i1, _ = protein_search.prefilter_query(
+        lc_query, db, index, 25.0, kmer_thr=thr, max_candidates=400, bias=bias
+    )
+    assert len(i1) < len(i0), (len(i0), len(i1))
+
+    # a diverse true homolog keeps its planted target under bias
+    t = 123
+    seq = base.consensus(t).astype(np.int8)
+    i2, _ = protein_search.prefilter_query(
+        seq, db, index, 25.0, kmer_thr=thr, max_candidates=400,
+        bias=blosum.comp_bias(seq),
+    )
+    assert t in i2

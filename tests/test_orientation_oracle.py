@@ -83,7 +83,8 @@ def oracle_chain(
     per_profile = defaultdict(list)
     for qi, r in enumerate(res_list):
         ids, scores = protein_search.prefilter_query(
-            r, db, index, 25.0, max_candidates=db.n_profiles, kmer_thr=kmer_thr
+            r, db, index, 25.0, max_candidates=db.n_profiles,
+            kmer_thr=kmer_thr, bias=blosum.comp_bias(r),
         )
         for pid, s in zip(ids, scores):
             per_profile[int(pid)].append((float(s), qi))
