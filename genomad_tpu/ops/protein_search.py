@@ -516,12 +516,14 @@ def prefilter_query(
 # Length-bucket upper bounds shared by the padded operand caches: every
 # staged dimension is padded to one of these so the compiled program set is
 # small, stable across runs, and served by the persistent compilation cache.
-# Deliberately coarse (no 64 bucket; 4096 jumps to 32768): each extra bucket
-# multiplies the number of compiled SW programs (cold start through the
-# axon remote-compile helper costs ~30-60 s per program shape), while
-# padding waste only costs linear VPU work on a stage that is not the
-# bottleneck.
-_BOUNDS = (128, 256, 512, 1024, 4096, 32768)
+# Round 5 added the 384 and 768 bounds: stage 2 now aligns the full
+# reference-mandated pair set (profile-as-query semantics), making SW
+# padding waste a first-order cost — proteins/profiles cluster in the
+# 250-400-residue range, where a 512 bound wastes ~2.5x of the scan cells
+# (measured: the (512, 512) bucket carried 37% of all pairs at 20k-DB
+# scale). Each extra bucket costs one-time compiles served by the
+# persistent cache afterwards.
+_BOUNDS = (128, 256, 384, 512, 768, 1024, 4096, 32768)
 
 
 def _bucket_bound(lengths):
