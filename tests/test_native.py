@@ -307,3 +307,43 @@ def test_bias_prunes_low_complexity_candidates():
         bias=blosum.comp_bias(seq),
     )
     assert t in i2
+
+
+def test_prefilter_thread_count_invariance(lib):
+    """Identical per-query results at any thread count (the batch driver
+    hands whole 16-query groups to workers; grouping, not threading,
+    defines the scan batches)."""
+    from genomad_tpu.ops import blosum
+
+    db = ProfileDB.synthetic(
+        seed=83, n_profiles=800, min_len=60, max_len=200, integral=True
+    )
+    index = db.kmer_index(1)
+    rng = np.random.default_rng(11)
+    thr = blosum.kmer_score_threshold(4.2)
+    queries = []
+    for qi in range(40):  # > 2 full groups + a partial group
+        t = int(rng.integers(0, 800))
+        seq = db.consensus(t).copy()
+        pos = rng.choice(len(seq), len(seq) // 9, replace=False)
+        seq[pos] = rng.integers(0, 20, len(pos))
+        queries.append(seq.astype(np.int8))
+    bias_list = [blosum.comp_bias(q) for q in queries]
+    ref = None
+    for n_threads in (1, 2, 4):
+        res = native.native_prefilter_batch(
+            index, queries, db, 25.0, kmer_thr=thr,
+            max_out_per_query=800, n_threads=n_threads, bias_list=bias_list,
+        )
+        assert res is not None
+        if ref is None:
+            ref = res
+            continue
+        for q in range(len(queries)):
+            np.testing.assert_array_equal(
+                res[0][q], ref[0][q], err_msg=f"t={n_threads} q={q} ids"
+            )
+            np.testing.assert_array_equal(
+                res[1][q], ref[1][q], err_msg=f"t={n_threads} q={q} scores"
+            )
+        assert res[2] == ref[2]
