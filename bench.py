@@ -377,7 +377,14 @@ def main():
         # production-representative headline (VERDICT r3 #2) at a larger
         # input so fixed per-run overheads don't flatter the rate
         ("end_to_end_20k", lambda: bench_end_to_end(n_profiles=20_000)),
-        ("end_to_end", lambda: bench_end_to_end(total_mbp=4.0)),
+        # 227k e2e input sized at 1.5 Mbp: with the round-5 profile-as-
+        # query semantics the marker search aligns the FULL mandated pair
+        # set (~10k candidates/gene at 227k under the reference's -k 5
+        # regime), so the search dominates e2e wall-clock; 1.5 Mbp keeps
+        # the median-of-3 bench completable while the rate stays
+        # search-bound (input-size-insensitive beyond overhead
+        # amortization — docs/performance.md round-5 notes)
+        ("end_to_end", lambda: bench_end_to_end(total_mbp=1.5)),
     ]:
         if os.environ.get("GENOMAD_BENCH_FAST") and key in (
             "search_227k", "end_to_end", "end_to_end_20k",

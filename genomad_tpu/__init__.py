@@ -17,6 +17,6 @@ CRF provirus tagger, the tree-ensemble evaluator, and the fusion/calibration
 heads all run on TPU, with the profile database sharded across a device mesh.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from genomad_tpu import utils  # noqa: F401
