@@ -577,6 +577,30 @@ def _staging_dtype(db):
     return np.float32
 
 
+def _build_staged_bucket(db, pb_i):
+    """Assemble + upload one profile length-class bucket (see
+    get_staged_profiles inside search() for the caching/locking layer).
+    Returns (sorted profile ids, device (count, Lp, 21) tensor, device
+    per-row profile lengths)."""
+    Lp = _BOUNDS[pb_i]
+    ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
+    lens = db.lengths[ids].astype(np.int64)
+    rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
+    mask = np.arange(Lp)[None, :] < lens[:, None]
+    dtype = _staging_dtype(db)
+    arr = np.zeros((_count_pad(len(ids)), Lp, N_AA + 1), dtype)
+    arr[: len(ids), :, :N_AA] = np.where(
+        mask[:, :, None],
+        _staging_source(db)[np.minimum(rows, db.offsets[-1] - 1)],
+        0,
+    )
+    # per-row profile lengths (pad rows 1 to keep the E-value division
+    # finite; their zero-PSSM scores fail every gate)
+    plen = np.ones(arr.shape[0], np.float32)
+    plen[: len(ids)] = lens
+    return ids, jnp.asarray(arr), jnp.asarray(plen)
+
+
 def search(
     query_names,
     query_seqs,
@@ -593,6 +617,7 @@ def search(
     max_rejected: int = 280,
     n_threads: int | None = None,
     comp_bias_corr: bool = True,
+    profile_major: bool | None = None,
     _details: bool = False,
 ) -> dict:
     """Full search: prefilter -> batched SW -> profile-side gates -> best hit.
@@ -601,6 +626,20 @@ def search(
     correction (--comp-bias-corr 1, inherited silently by the reference —
     see blosum.comp_bias) to the prefilter's k-mer expansion and diagonal
     scores. The align stage is uncorrected (its query is a profile).
+
+    profile_major selects the large-input scheduling mode (None = auto:
+    on when the query count reaches GENOMAD_PROFILE_MAJOR_MIN, default
+    4096). The streaming mode overlaps the host prefilter with device
+    alignment of ALL candidate pairs and applies the per-profile stop
+    rule post-hoc — ideal when per-profile gene lists are short (the
+    stop rule cannot fire, so nothing is wasted). At metagenome scale
+    the lists grow long enough for the reference's stop rule to fire
+    constantly; profile-major mode then prefilters everything first and
+    aligns in the reference's own order — per-PROFILE, prefilter-score
+    descending, stopping each profile's walk at the 280th consecutive
+    rejection — cutting both alignment work and the O(pairs) result
+    accumulation by the stop rule's savings. Both modes are bit-equal to
+    the reference's sequential walk (and to each other — tested).
 
     Returns {query_name: (target, evalue, bitscore, taxid)} — the contract
     of MMseqs2.get_matches() (genomad/mmseqs2.py:198-212).
@@ -769,7 +808,10 @@ def search(
         pad/unknown column appended. Cached on the DB object: the profile
         database uploads to HBM once per process, not once per search —
         this is the device-resident replacement for MMseqs2's target-DB
-        memory-mapping (genomad/mmseqs2.py:83-95).
+        memory-mapping (genomad/mmseqs2.py:83-95). Thread-safe (a
+        per-bucket lock serializes builders): the cold-start path stages
+        buckets from a background thread OVERLAPPED with the host
+        prefilter (see _prestage below).
 
         Large databases stage in bfloat16 ONLY when the PSSM is integral
         (db.pssm_i8 is not None): real geNomad/MMseqs2 profile scores are
@@ -779,24 +821,15 @@ def search(
         float scores, which bf16 would silently quantize to an 8-bit
         mantissa and flip threshold-edge gate decisions — keep f32."""
         cache = db.__dict__.setdefault("_device_buckets", {})
-        if pb_i not in cache:
-            Lp = _BOUNDS[pb_i]
-            ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
-            lens = db.lengths[ids].astype(np.int64)
-            rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
-            mask = np.arange(Lp)[None, :] < lens[:, None]
-            dtype = _staging_dtype(db)
-            arr = np.zeros((_count_pad(len(ids)), Lp, N_AA + 1), dtype)
-            arr[: len(ids), :, :N_AA] = np.where(
-                mask[:, :, None],
-                _staging_source(db)[np.minimum(rows, db.offsets[-1] - 1)],
-                0,
-            )
-            # per-row profile lengths (pad rows 1 to keep the E-value
-            # division finite; their zero-PSSM scores fail every gate)
-            plen = np.ones(arr.shape[0], np.float32)
-            plen[: len(ids)] = lens
-            cache[pb_i] = (ids, jnp.asarray(arr), jnp.asarray(plen))
+        if pb_i in cache:
+            return cache[pb_i]
+        import threading
+
+        locks = db.__dict__.setdefault("_device_bucket_locks", {})
+        lock = locks.setdefault(pb_i, threading.Lock())
+        with lock:
+            if pb_i not in cache:
+                cache[pb_i] = _build_staged_bucket(db, pb_i)
         return cache[pb_i]
 
     def get_staged_shards(pb_i):
@@ -809,33 +842,39 @@ def search(
         n_db = mesh.shape.get("db", 1)
         cache = db.__dict__.setdefault("_device_bucket_shards", {})
         key = (pb_i, n_db)
-        if key not in cache:
-            Lp = _BOUNDS[pb_i]
-            ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
-            per_shard = -(-len(ids) // n_db)
-            p_loc = _pow2(per_shard, floor=8) if per_shard <= 4096 else _count_pad(per_shard)
-            dtype = _staging_dtype(db)
-            arr = np.zeros((n_db * p_loc, Lp, N_AA + 1), dtype)
-            lens = db.lengths[ids].astype(np.int64)
-            rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
-            mask = np.arange(Lp)[None, :] < lens[:, None]
-            arr[: len(ids), :, :N_AA] = np.where(
-                mask[:, :, None],
-                _staging_source(db)[np.minimum(rows, db.offsets[-1] - 1)],
-                0,
-            )
-            plen = np.ones(arr.shape[0], np.float32)
-            plen[: len(ids)] = lens
-            from genomad_tpu.parallel.mesh import put_global
+        import threading
 
-            sh = NamedSharding(mesh, P("db"))
-            cache[key] = (
-                ids,
-                p_loc,
-                put_global(arr, sh),
-                put_global(plen, sh),
-            )
+        locks = db.__dict__.setdefault("_device_bucket_locks", {})
+        lock = locks.setdefault(("shard", key), threading.Lock())
+        with lock:
+            if key not in cache:
+                cache[key] = _build_shard_bucket(key)
         return cache[key]
+
+    def _build_shard_bucket(key):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from genomad_tpu.parallel.mesh import put_global
+
+        pb_i, n_db = key
+        Lp = _BOUNDS[pb_i]
+        ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
+        per_shard = -(-len(ids) // n_db)
+        p_loc = _pow2(per_shard, floor=8) if per_shard <= 4096 else _count_pad(per_shard)
+        dtype = _staging_dtype(db)
+        arr = np.zeros((n_db * p_loc, Lp, N_AA + 1), dtype)
+        lens = db.lengths[ids].astype(np.int64)
+        rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
+        mask = np.arange(Lp)[None, :] < lens[:, None]
+        arr[: len(ids), :, :N_AA] = np.where(
+            mask[:, :, None],
+            _staging_source(db)[np.minimum(rows, db.offsets[-1] - 1)],
+            0,
+        )
+        plen = np.ones(arr.shape[0], np.float32)
+        plen[: len(ids)] = lens
+        sh = NamedSharding(mesh, P("db"))
+        return (ids, p_loc, put_global(arr, sh), put_global(plen, sh))
 
     ka = ka_params(float(lam), float(kk), n_gate)
     sharded = mesh is not None and (
@@ -906,6 +945,30 @@ def search(
         rec_pf.append(np.concatenate(spf))
         rec_stats.append(stats)
 
+    # ---- cold-start overlap: stage every profile bucket in a background
+    # thread while the host prefilter chews on the first query groups.
+    # Bucket assembly + tunnel upload is the dominant un-cacheable cold
+    # cost at 227k scale (~60-90 s); lazily staging it inside the first
+    # alignment call serialized it AFTER the first prefilter group. The
+    # staging helpers are idempotent and per-bucket locked, so the main
+    # path simply joins whichever bucket it needs first.
+    if not all_pairs and db.n_profiles > 4096:
+        import threading
+
+        classes = np.unique(_bucket_bound(db.lengths)).tolist()
+
+        def _prestage():
+            try:
+                for pb_i in classes:
+                    if sharded:
+                        get_staged_shards(int(pb_i))
+                    else:
+                        get_staged_profiles(int(pb_i))
+            except Exception:  # pragma: no cover — the main path will
+                pass  # rebuild (or raise) with proper context
+
+        threading.Thread(target=_prestage, daemon=True).start()
+
     # ---- pipeline: the host prefilter of group k+1 overlaps the device
     # alignment of group k (the C++ batch call releases the GIL; stage 2
     # mostly waits on device round-trips). This replaces the reference's
@@ -916,6 +979,33 @@ def search(
         np.arange(s, min(s + group_size, nq), dtype=np.int64)
         for s in range(0, nq, group_size)
     ]
+    if profile_major is None:
+        import os
+
+        profile_major = not all_pairs and nq >= int(
+            os.environ.get("GENOMAD_PROFILE_MAJOR_MIN", "4096")
+        )
+    if profile_major and not all_pairs:
+        return _run_profile_major(
+            groups,
+            prefilter_group,
+            full_stats_fn if sharded else fwd_fn,
+            None if sharded else cov_fn,
+            sharded=sharded,
+            nq=nq,
+            db=db,
+            q_lengths=q_lengths,
+            evalue_threshold=evalue_threshold,
+            min_cov=min_cov,
+            max_rejected=max_rejected,
+            db_positions=db_positions,
+            lam=lam,
+            kk=kk,
+            query_names=query_names,
+            drop_total=drop_total,
+            out_bound=out_bound,
+            _details=_details,
+        )
     if len(groups) <= 1 or all_pairs:
         for g in groups:
             run_stage2(g, prefilter_group(g))
@@ -972,21 +1062,30 @@ def search(
                 genes[need_cov], profs[need_cov], stats[need_cov, 1:3]
             )
     acc = need_cov & (pcov >= np.float32(min_cov))
-    out: dict = {}
     if not np.any(acc):
-        return out
-    a_q, a_p, a_raw = genes[acc], profs[acc], raw[acc].astype(np.float64)
-    # best hit per gene: the head of the swapped-back list under
-    # Matcher::compareHits — for a fixed gene: int bitscore desc, profile
-    # length asc, profile id asc (E_report is monotone in int bits at
-    # fixed gene length and DB size, so E asc == bits desc)
+        return {}
+    return _select_best_hits(
+        genes[acc], profs[acc], raw[acc], db, q_lengths, db_positions,
+        lam, kk, query_names, _details,
+    )
+
+
+def _select_best_hits(
+    a_q, a_p, a_raw, db, q_lengths, db_positions, lam, kk, query_names,
+    _details,
+):
+    """Best hit per gene over the final accepted pairs: the head of the
+    swapped-back list under Matcher::compareHits — for a fixed gene: int
+    bitscore desc, profile length asc, profile id asc (E_report is
+    monotone in int bits at fixed gene length and DB size, so E asc ==
+    bits desc). Returns the MMseqs2.get_matches()-shaped dict."""
+    a_raw = np.asarray(a_raw, np.float64)
     a_bits = int_bitscore(a_raw, lam, kk)
     a_plen = db.lengths[a_p].astype(np.int64)
-    order2 = np.lexsort((a_p, a_plen, -a_bits, a_q))
-    a_q, a_p, a_bits, a_plen = (
-        a_q[order2], a_p[order2], a_bits[order2], a_plen[order2]
-    )
+    order = np.lexsort((a_p, a_plen, -a_bits, a_q))
+    a_q, a_p, a_bits = a_q[order], a_p[order], a_bits[order]
     first = np.concatenate([[True], a_q[1:] != a_q[:-1]])
+    out: dict = {}
     for qi, gid, bits in zip(a_q[first], a_p[first], a_bits[first]):
         qi, gid, bits = int(qi), int(gid), int(bits)
         row = (
@@ -1000,6 +1099,115 @@ def search(
         # identical compareHits selection key
         out[query_names[qi]] = row + (int(db.lengths[gid]), gid) if _details else row
     return out
+
+
+_PM_ROUND = 512  # profile-major pairs aligned per profile per round
+
+
+def _run_profile_major(
+    groups,
+    prefilter_group,
+    stats_fn,
+    cov_fn,
+    *,
+    sharded,
+    nq,
+    db,
+    q_lengths,
+    evalue_threshold,
+    min_cov,
+    max_rejected,
+    db_positions,
+    lam,
+    kk,
+    query_names,
+    drop_total,
+    out_bound,
+    _details,
+):
+    """Large-input scheduling: prefilter everything, then align in the
+    reference's own order — per PROFILE, swapped-prefilter-score
+    descending, stopping each profile's walk at the max_rejected-th
+    consecutive E-value rejection (genomad/mmseqs2.py:107-122). Rounds of
+    up to _PM_ROUND pairs per live profile bound the alignment wasted past
+    stop points; the stop rule itself is the vectorized sequential-walk
+    mask (_max_rejected_mask) with rejection runs carried across rounds.
+    Bit-equal to the streaming mode (tested) — this mode exists because at
+    metagenome scale per-profile gene lists grow long enough for the
+    reference's stop rule to fire constantly, and aligning everything
+    first (the streaming mode) would do that work for nothing."""
+    cand_g, cand_p, cand_f = [], [], []
+    for g in groups:
+        cg = prefilter_group(g)
+        for li, qi in enumerate(g):
+            ids, scores = cg[li]
+            if len(ids):
+                cand_g.append(np.full(len(ids), qi, np.int64))
+                cand_p.append(np.asarray(ids, np.int64))
+                cand_f.append(np.asarray(scores, np.float32))
+    if drop_total[0]:
+        import warnings
+
+        warnings.warn(
+            f"prefilter: kept the top {out_bound} candidates per query "
+            f"by ungapped score (--max-seqs semantics); {drop_total[0]} "
+            "weaker candidates dropped across the batch"
+        )
+    if not cand_g:
+        return {}
+    genes = np.concatenate(cand_g)
+    profs = np.concatenate(cand_p)
+    pf = np.concatenate(cand_f)
+    # the swapped per-profile walk order: profile asc, prefilter score
+    # desc, gene index asc on ties
+    order = np.lexsort((genes, -pf, profs))
+    genes, profs = genes[order], profs[order]
+    seg_start = np.concatenate(
+        [[0], np.where(profs[1:] != profs[:-1])[0] + 1]
+    ).astype(np.int64)
+    seg_end = np.concatenate([seg_start[1:], [len(profs)]]).astype(np.int64)
+    cur = seg_start.copy()
+    carry = np.zeros(db.n_profiles, np.int64)
+    alive = np.ones(len(seg_start), bool)
+    acc: list = []
+    R = _PM_ROUND  # bounds alignment wasted past stop points
+    while np.any(alive):
+        live = np.where(alive)[0]
+        take = np.minimum(seg_end[live] - cur[live], R)
+        offsets = np.concatenate([[0], np.cumsum(take)[:-1]])
+        idx = np.repeat(cur[live] - offsets, take) + np.arange(int(take.sum()))
+        rq, rp = genes[idx], profs[idx]
+        stats = stats_fn(rq, rp)
+        ev32 = stats[:, 5] if sharded else stats[:, 3]
+        keep1 = ev32 <= np.float32(evalue_threshold)
+        if max_rejected:
+            aligned, carry, stopped = _max_rejected_mask(
+                rp, keep1, carry, int(max_rejected)
+            )
+        else:
+            aligned = np.ones(len(keep1), bool)
+            stopped = np.zeros(len(live), bool)
+        sel = aligned & keep1
+        if np.any(sel):
+            acc.append((rq[sel], rp[sel], stats[sel]))
+        cur[live] += take
+        alive[live] = ~stopped & (cur[live] < seg_end[live])
+    if not acc:
+        return {}
+    a_q = np.concatenate([a for a, _, _ in acc])
+    a_p = np.concatenate([b for _, b, _ in acc])
+    a_stats = np.concatenate([c for _, _, c in acc], axis=0)
+    if sharded:
+        pcov = a_stats[:, 6]
+    else:
+        pcov = cov_fn(a_q, a_p, a_stats[:, 1:3])
+    ok = pcov >= np.float32(min_cov)
+    if not np.any(ok):
+        return {}
+    return _select_best_hits(
+        a_q[ok], a_p[ok], a_stats[ok, 0], db, q_lengths, db_positions,
+        lam, kk, query_names, _details,
+    )
 
 
 def _max_rejected_mask(seg_q, keep, carry, max_rejected):

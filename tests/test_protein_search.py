@@ -287,3 +287,61 @@ def test_search_max_rejected_drops_later_accept():
     )
     assert both.get("g_mut", ("",))[0] == str(db.names[target])
     assert both.get("g_frag", ("",))[0] == str(db.names[target])
+
+
+def test_profile_major_mode_matches_streaming(monkeypatch):
+    """The large-input profile-major scheduler (prefilter-all ->
+    per-profile walk with early stop) must produce the IDENTICAL hit
+    table as the streaming mode (align-all + post-hoc stop) — both are
+    bit-equal realizations of the reference's sequential walk. Tiny
+    rounds force multi-round carry of rejection runs."""
+    monkeypatch.setattr(protein_search, "_PM_ROUND", 4)
+    db = ProfileDB.synthetic(
+        seed=91, n_profiles=400, min_len=60, max_len=150, integral=True
+    )
+    rng = np.random.default_rng(6)
+    names, seqs = [], []
+    for qi in range(40):
+        if qi % 3 < 2:
+            t = int(rng.integers(0, 400))
+            seq = db.consensus(t).copy()
+            pos = rng.choice(len(seq), max(1, len(seq) // 8), replace=False)
+            seq[pos] = rng.integers(0, N_AA, len(pos))
+        else:
+            seq = rng.integers(0, N_AA, int(rng.integers(60, 150)))
+        names.append(f"g_{qi}")
+        seqs.append("".join(ALPHABET[r] for r in seq))
+    for kwargs in (
+        {},
+        {"max_rejected": 1, "evalue_threshold": 1e-12},
+        {"max_rejected": 0},
+        {"max_rejected": 2, "evalue_threshold": 1e-25},
+    ):
+        stream = protein_search.search(
+            names, seqs, db, profile_major=False, **kwargs
+        )
+        pmajor = protein_search.search(
+            names, seqs, db, profile_major=True, **kwargs
+        )
+        assert stream == pmajor, kwargs
+
+
+def test_prestage_thread_path_large_db():
+    """DBs past the prestage threshold (4096 profiles) stage their buckets
+    from a background thread overlapped with the prefilter; results must
+    be unaffected and the bucket cache populated exactly once."""
+    db = ProfileDB.synthetic(
+        seed=55, n_profiles=4200, min_len=30, max_len=60, integral=True
+    )
+    rng = np.random.default_rng(4)
+    names, seqs = [], []
+    for qi, t in enumerate((7, 1033, 4100)):
+        seq = db.consensus(t).copy()
+        pos = rng.choice(len(seq), max(1, len(seq) // 10), replace=False)
+        seq[pos] = rng.integers(0, N_AA, len(pos))
+        names.append(f"g_{qi}")
+        seqs.append("".join(ALPHABET[r] for r in seq))
+    hits = protein_search.search(names, seqs, db)
+    for qi, t in enumerate((7, 1033, 4100)):
+        assert hits[f"g_{qi}"][0] == str(db.names[t])
+    assert db.__dict__.get("_device_buckets"), "prestage cache empty"
