@@ -35,7 +35,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from genomad_tpu import native  # noqa: E402
-from genomad_tpu.ops import protein_search  # noqa: E402
+from genomad_tpu.ops import blosum, protein_search  # noqa: E402
 from genomad_tpu.ops.blosum import kmer_score_threshold  # noqa: E402
 from genomad_tpu.ops.profiledb import N_AA, ProfileDB  # noqa: E402
 
@@ -73,9 +73,14 @@ def main(n_profiles: int = 20_000, n_queries: int = 24) -> None:
     n_planted_exact = 0
     t_exact = t_native = 0.0
     for seq, target in zip(queries, planted):
+        # production config: comp-bias correction on (MMseqs2's default),
+        # identical bias in both paths so the comparison isolates the
+        # native engine's stamp/window approximations
+        bias = blosum.comp_bias(seq)
         t0 = time.perf_counter()
         exact_ids, _ = protein_search.prefilter_query(
-            seq, db, index, 25.0, max_candidates=db.n_profiles, kmer_thr=thr
+            seq, db, index, 25.0, max_candidates=db.n_profiles, kmer_thr=thr,
+            bias=bias,
         )
         t_exact += time.perf_counter() - t0
         exact = set(exact_ids.tolist())
@@ -89,7 +94,8 @@ def main(n_profiles: int = 20_000, n_queries: int = 24) -> None:
             try:
                 t0 = time.perf_counter()
                 got = native.native_prefilter_query(
-                    index, seq, db, 25.0, max_out=db.n_profiles, kmer_thr=thr
+                    index, seq, db, 25.0, max_out=db.n_profiles, kmer_thr=thr,
+                    bias=bias,
                 )
                 if key == "default":
                     t_native += time.perf_counter() - t0
