@@ -150,15 +150,16 @@ def native_prefilter_batch(
     out = np.zeros((n_queries, max_out_per_query), np.int32)
     out_scores = np.zeros((n_queries, max_out_per_query), np.float32)
     counts = np.zeros(n_queries, np.int64)
+    keepalive: list = []
     if bias_list is not None:
         bias_all = np.ascontiguousarray(np.concatenate(bias_list), np.int32)
         assert len(bias_all) == residue_offsets[-1]
+        keepalive.append(bias_all)
         bias_arg = _ptr(bias_all, ctypes.c_int32)
         from genomad_tpu.ops.blosum import COMP_BIAS_SLACK
 
         slack = float(COMP_BIAS_SLACK)
     else:
-        bias_all = None
         bias_arg = ctypes.POINTER(ctypes.c_int32)()
         slack = 0.0
     lib.prefilter_batch(
@@ -170,12 +171,12 @@ def native_prefilter_batch(
         _ptr(residues, ctypes.c_int8),
         _ptr(residue_offsets, ctypes.c_int64),
         n_queries,
-        _pssm_f32_arg(db),
+        _pssm_f32_arg(db, keepalive),
         _pssm8_arg(db),
         _ptr(offsets, ctypes.c_int64),
         _ptr(lengths, ctypes.c_int32),
         float(min_ungapped_score),
-        *_subst_args(kmer_thr),
+        *_subst_args(kmer_thr, keepalive),
         slack,
         bias_arg,
         _ptr(out, ctypes.c_int32),
@@ -191,14 +192,17 @@ def native_prefilter_batch(
     return ids, scores, dropped
 
 
-def _pssm_f32_arg(db):
+def _pssm_f32_arg(db, keepalive: list):
     """f32-PSSM ctypes arg — NULL when the int8 copy is active (the C scan
     then never dereferences the f32 matrix, so the lazy multi-GB float
-    PSSM is never materialized on the production path)."""
+    PSSM is never materialized on the production path). Any converted
+    copy is appended to ``keepalive``, which the caller holds for the
+    duration of the C call (a function-attribute pin would be overwritten
+    by a concurrent call on another DB — use-after-free)."""
     if db.pssm_i8 is not None:
         return ctypes.POINTER(ctypes.c_float)()
     pssm = np.ascontiguousarray(db.pssm, np.float32)
-    _pssm_f32_arg._keepalive = pssm  # pin until the call returns
+    keepalive.append(pssm)
     return _ptr(pssm, ctypes.c_float)
 
 
@@ -213,25 +217,28 @@ def _pssm8_arg(db):
     return _ptr(p8, ctypes.c_int8)
 
 
-def _bias_args(bias):
-    """(slack, bias pointer) ctypes args for comp-bias correction."""
+def _bias_args(bias, keepalive: list):
+    """(slack, bias pointer) ctypes args for comp-bias correction. The
+    converted copy is appended to ``keepalive``, held by the caller for
+    the duration of the C call (bias arrays are per-call, so a
+    function-attribute pin would be overwritten by concurrent calls)."""
     if bias is None:
         return (0.0, ctypes.POINTER(ctypes.c_int32)())
     from genomad_tpu.ops.blosum import COMP_BIAS_SLACK
 
     b = np.ascontiguousarray(bias, np.int32)
-    _bias_args._keepalive = b  # pin until the call returns
+    keepalive.append(b)
     return (float(COMP_BIAS_SLACK), _ptr(b, ctypes.c_int32))
 
 
-def _subst_args(kmer_thr: float | None):
+def _subst_args(kmer_thr: float | None, keepalive: list):
     """(subst pointer, threshold) ctypes args for the expansion mode."""
     if kmer_thr is None:
         return (ctypes.POINTER(ctypes.c_float)(), 1e30)
     from genomad_tpu.ops.blosum import BLOSUM62
 
     subst = np.ascontiguousarray(BLOSUM62, np.float32)
-    _subst_args._keepalive = subst  # pin until the call returns
+    keepalive.append(subst)
     return (_ptr(subst, ctypes.c_float), float(kmer_thr))
 
 
@@ -252,6 +259,7 @@ def native_prefilter_query(
         return None
     from genomad_tpu.ops.profiledb import encode_kmers
 
+    keepalive: list = []
     codes = np.ascontiguousarray(encode_kmers(residues), np.int64)
     residues = np.ascontiguousarray(residues, np.int8)
     code_table = np.ascontiguousarray(index.table, np.int32)
@@ -268,16 +276,17 @@ def native_prefilter_query(
         len(codes),
         _ptr(residues, ctypes.c_int8),
         len(residues),
-        _pssm_f32_arg(db),
+        _pssm_f32_arg(db, keepalive),
         _pssm8_arg(db),
         _ptr(offsets, ctypes.c_int64),
         _ptr(lengths, ctypes.c_int32),
         float(min_ungapped_score),
-        *_subst_args(kmer_thr),
-        *_bias_args(bias),
+        *_subst_args(kmer_thr, keepalive),
+        *_bias_args(bias, keepalive),
         _ptr(out, ctypes.c_int32),
         _ptr(out_scores, ctypes.c_float),
         max_out,
     )
     n = min(n, max_out)
+    del keepalive  # pinned through the C call above
     return out[:n].copy(), out_scores[:n].copy()

@@ -118,11 +118,20 @@ class ProfileDB:
         self.ka_k = ka_k
         self._kmer_index = None
         self._buckets = None
+        # serializes the lazy f32 load and the int8-copy build: the
+        # search's prestage thread and the prefilter thread both reach
+        # pssm/pssm_i8 concurrently on the cold path, and an unlocked
+        # double materialization of a multi-GB matrix risks OOM
+        import threading
+
+        self._pssm_lock = threading.RLock()  # reentrant: the int8 build holds it while reading .pssm
 
     @property
     def pssm(self) -> np.ndarray:
         if callable(self._pssm):
-            self._pssm = self._pssm()
+            with self._pssm_lock:
+                if callable(self._pssm):
+                    self._pssm = self._pssm()
         return self._pssm
 
     @pssm.setter
@@ -149,6 +158,13 @@ class ProfileDB:
         native prefilter's cache-compact diagonal scoring and gates bf16
         device staging (both are EXACT for integral values). Synthetic
         float test databases return None and keep full-f32 paths."""
+        cached = self.__dict__.get("_pssm_i8_cache", False)
+        if cached is not False:
+            return cached
+        with self._pssm_lock:
+            return self._pssm_i8_locked()
+
+    def _pssm_i8_locked(self):
         cached = self.__dict__.get("_pssm_i8_cache", False)
         if cached is not False:
             return cached

@@ -345,9 +345,12 @@ def _gate_ev(score, plen, ka):
 
 
 def int_bitscore(raw_score, lam: float = KA_LAMBDA, k: float = KA_K) -> np.ndarray:
-    """MMseqs2's stored integer bitscore: Matcher rounds half-up
-    (static_cast<int>(computeBitScore(score) + 0.5))."""
-    return np.floor(bitscore(raw_score, lam, k) + 0.5)
+    """MMseqs2's stored integer bitscore: Matcher computes
+    static_cast<int>(computeBitScore(score) + 0.5) — add-half then
+    TRUNCATE TOWARD ZERO (trunc == floor for the positive scores that
+    pass any real gate; they differ for negative bitscores reachable
+    only under permissive test thresholds)."""
+    return np.trunc(bitscore(raw_score, lam, k) + 0.5)
 
 
 def evalue_from_bits(bits, query_length, db_positions) -> np.ndarray:
@@ -629,7 +632,10 @@ def search(
 
     profile_major selects the large-input scheduling mode (None = auto:
     on when the query count reaches GENOMAD_PROFILE_MAJOR_MIN, default
-    4096). The streaming mode overlaps the host prefilter with device
+    8192 — around that size the streaming pair table nears ~2-3 GB of
+    host RAM at 227k-DB candidate rates, and per-profile gene lists
+    approach the 280-rejection stop threshold where profile-major's
+    early stopping starts paying for the lost prefilter overlap). The streaming mode overlaps the host prefilter with device
     alignment of ALL candidate pairs and applies the per-profile stop
     rule post-hoc — ideal when per-profile gene lists are short (the
     stop rule cannot fire, so nothing is wasted). At metagenome scale
@@ -940,8 +946,10 @@ def search(
             stats = full_stats_fn(pairs_q, pairs_p)
         else:
             stats = fwd_fn(pairs_q, pairs_p)
-        rec_q.append(pairs_q)
-        rec_p.append(pairs_p)
+        # accumulate lean (i32/f32) records: the full pair table lives in
+        # host RAM until finalize, ~28-44 B/pair
+        rec_q.append(pairs_q.astype(np.int32))
+        rec_p.append(pairs_p.astype(np.int32))
         rec_pf.append(np.concatenate(spf))
         rec_stats.append(stats)
 
@@ -952,7 +960,10 @@ def search(
     # alignment call serialized it AFTER the first prefilter group. The
     # staging helpers are idempotent and per-bucket locked, so the main
     # path simply joins whichever bucket it needs first.
-    if not all_pairs and db.n_profiles > 4096:
+    if not all_pairs and db.n_profiles > 4096 and jax.process_count() == 1:
+        # (single-process only: on a pod, a background thread issuing
+        # put_global concurrently with the main thread could order
+        # cross-process array creations differently per process)
         import threading
 
         classes = np.unique(_bucket_bound(db.lengths)).tolist()
@@ -983,7 +994,7 @@ def search(
         import os
 
         profile_major = not all_pairs and nq >= int(
-            os.environ.get("GENOMAD_PROFILE_MAJOR_MIN", "4096")
+            os.environ.get("GENOMAD_PROFILE_MAJOR_MIN", "8192")
         )
     if profile_major and not all_pairs:
         return _run_profile_major(
@@ -1289,11 +1300,12 @@ def _chunk_pad(n: int, total: int, cap: int) -> int:
     """Padded pair count for one dispatch chunk. Production-size rounds
     (more than one full chunk) always use the bucket's single ``cap``
     shape so one compiled program per operand bucket serves the whole
-    search; small searches pad to a power of two (floor 256) to stay
-    cheap on CPU."""
+    search; small searches pad to a power of two (floor 256, clamped to
+    the cap — long-profile buckets cap below 256 precisely because big
+    operands at those lengths hit the measured dispatch-size collapse)."""
     if total > cap:
         return cap
-    return max(256, 1 << (max(n, 1) - 1).bit_length())
+    return min(cap, max(256, 1 << (max(n, 1) - 1).bit_length()))
 
 
 def _pair_fwd_host(
@@ -1474,7 +1486,7 @@ def _pair_stats_sharded(
                 width = min(cell_cap, cell_width - start)
                 if width <= 0:
                     break
-                n_pad = _pow2(width, floor=256)
+                n_pad = _pow2(width, floor=min(256, cell_cap))
                 idx_stack = np.zeros((n_data, n_db, 2, n_pad), np.int32)
                 placement = []  # (pair rows, g, d, slot_base)
                 for d in range(n_db):
