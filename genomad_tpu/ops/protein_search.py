@@ -978,7 +978,11 @@ def search(
             except Exception:  # pragma: no cover — the main path will
                 pass  # rebuild (or raise) with proper context
 
-        threading.Thread(target=_prestage, daemon=True).start()
+        # non-daemon: a daemon thread killed mid-device_put at process
+        # exit can wedge the single-client TPU server-side lock (axon);
+        # the interpreter instead joins this thread, letting in-flight
+        # uploads complete (they are bounded by one bucket's size)
+        threading.Thread(target=_prestage, daemon=False).start()
 
     # ---- pipeline: the host prefilter of group k+1 overlaps the device
     # alignment of group k (the C++ batch call releases the GIL; stage 2
