@@ -138,6 +138,8 @@ def bench_search(n_profiles: int, n_queries: int = 500) -> dict:
     from genomad_tpu.ops import protein_search
     from genomad_tpu.ops.profiledb import ALPHABET, N_AA
 
+    from genomad_tpu.ops.statistics import BACKGROUND_FREQS
+
     rng = np.random.default_rng(0)
     db = _bench_db(n_profiles)
     names, seqs = [], []
@@ -148,7 +150,12 @@ def bench_search(n_profiles: int, n_queries: int = 500) -> dict:
             pos = rng.choice(len(seq), len(seq) // 10, replace=False)
             seq[pos] = rng.integers(0, N_AA, len(pos))
         else:
-            seq = rng.integers(0, N_AA, int(rng.integers(60, 400)))
+            # background queries draw NATURAL residue frequencies, like
+            # the DB consensus does: uniform residues over-represent
+            # rare high-self-score residues (W 5x, C 2x), inflating
+            # similar-k-mer lists and candidate volume beyond any real
+            # protein workload
+            seq = rng.choice(N_AA, int(rng.integers(60, 400)), p=BACKGROUND_FREQS)
         names.append(f"q_{qi}")
         seqs.append("".join(ALPHABET[r] for r in seq))
     total_residues = sum(len(s) for s in seqs)

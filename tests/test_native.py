@@ -347,3 +347,82 @@ def test_prefilter_thread_count_invariance(lib):
                 res[1][q], ref[1][q], err_msg=f"t={n_threads} q={q} scores"
             )
         assert res[2] == ref[2]
+
+
+def test_native_bias_property_fuzz(lib):
+    """Property fuzz of the C++ path vs numpy across adversarial inputs:
+    random integral DBs, queries with X runs, near-k-length queries, long
+    homopolymer stretches, and bias on/off — exact-k-mer mode must be
+    bit-equal (both scan full diagonals); expansion mode must stay a
+    subset with scores bounded by the exact full-diagonal value."""
+    from genomad_tpu.ops import blosum
+
+    rng = np.random.default_rng(123)
+    thr = blosum.kmer_score_threshold(4.2)
+    for trial in range(12):
+        n_prof = int(rng.integers(40, 400))
+        db = ProfileDB.synthetic(
+            seed=2000 + trial, n_profiles=n_prof,
+            min_len=int(rng.integers(8, 30)), max_len=int(rng.integers(40, 250)),
+            integral=True,
+        )
+        index = db.kmer_index(1)
+        queries = []
+        for qi in range(6):
+            kind = (trial + qi) % 4
+            if kind == 0:  # mutated planted
+                t = int(rng.integers(0, n_prof))
+                seq = db.consensus(t).copy()
+                pos = rng.choice(len(seq), max(1, len(seq) // 6), replace=False)
+                seq[pos] = rng.integers(0, 20, len(pos))
+            elif kind == 1:  # X runs
+                t = int(rng.integers(0, n_prof))
+                seq = db.consensus(t).copy()
+                a = int(rng.integers(0, max(1, len(seq) - 6)))
+                seq[a : a + 6] = 20
+            elif kind == 2:  # near-k-length
+                seq = rng.integers(0, 20, int(rng.integers(5, 9)))
+            else:  # homopolymer + tail
+                seq = np.concatenate([
+                    np.full(int(rng.integers(20, 60)), int(rng.integers(0, 20))),
+                    rng.integers(0, 20, 30),
+                ])
+            queries.append(np.ascontiguousarray(seq, np.int8))
+        for use_bias in (False, True):
+            bias_list = (
+                [blosum.comp_bias(q) for q in queries] if use_bias else None
+            )
+            # exact-k-mer mode: full-diagonal scans, bit-equal required
+            res = native.native_prefilter_batch(
+                index, queries, db, 25.0, max_out_per_query=n_prof,
+                bias_list=bias_list,
+            )
+            assert res is not None
+            for q in range(len(queries)):
+                b = bias_list[q] if use_bias else None
+                ids_e, sc_e = protein_search.prefilter_query(
+                    queries[q], db, index, 25.0, max_candidates=n_prof, bias=b
+                )
+                np.testing.assert_array_equal(
+                    res[0][q], ids_e,
+                    err_msg=f"trial {trial} q {q} bias={use_bias} ids",
+                )
+                np.testing.assert_allclose(
+                    res[1][q], sc_e, rtol=1e-5,
+                    err_msg=f"trial {trial} q {q} bias={use_bias} scores",
+                )
+            # expansion mode: subset + score bound
+            res = native.native_prefilter_batch(
+                index, queries, db, 25.0, kmer_thr=thr,
+                max_out_per_query=n_prof, bias_list=bias_list,
+            )
+            for q in range(len(queries)):
+                b = bias_list[q] if use_bias else None
+                ids_e, sc_e = protein_search.prefilter_query(
+                    queries[q], db, index, 25.0, max_candidates=n_prof,
+                    kmer_thr=thr, bias=b,
+                )
+                exact = dict(zip(ids_e.tolist(), sc_e.tolist()))
+                for pid, s in zip(res[0][q].tolist(), res[1][q].tolist()):
+                    assert pid in exact, (trial, q, use_bias, pid)
+                    assert s <= exact[pid] + 1e-4, (trial, q, use_bias, pid)

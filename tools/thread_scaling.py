@@ -56,7 +56,7 @@ def main():
             pos = rng.choice(len(seq), len(seq) // 10, replace=False)
             seq[pos] = rng.integers(0, N_AA, len(pos))
         else:
-            seq = rng.integers(0, N_AA, int(rng.integers(60, 400)))
+            seq = rng.choice(N_AA, int(rng.integers(60, 400)), p=BACKGROUND_FREQS)
         queries.append(seq.astype(np.int8))
     bias_list = [blosum.comp_bias(q) for q in queries]
 
