@@ -401,6 +401,16 @@ def main():
             extra[key] = fn()
         except Exception as exc:  # a sub-bench failure must not kill the run
             extra[key] = {"error": f"{type(exc).__name__}: {exc}"}
+        # drop dead device buffers before the next sub-bench: deletions
+        # are deferred through the tunnel, and the next bench's staging
+        # peak must not collide with the previous bench's dying buffers
+        import gc
+
+        gc.collect()
+        try:
+            np.asarray(jnp.zeros(8).sum())  # sync point
+        except Exception:
+            pass
 
     baseline = measured_baseline_mbps()
     print(

@@ -580,6 +580,19 @@ def _staging_dtype(db):
     return np.float32
 
 
+def _staging_lock(db):
+    """ONE lock per DB for all bucket builds (not per-bucket): a bucket
+    assembly transiently holds a ~GB-scale host array plus the in-flight
+    device copy, and the prestage thread racing the main thread on
+    DIFFERENT buckets doubled that peak — with deferred buffer deletion
+    through the axon tunnel that intermittently exhausted HBM at 227k
+    scale. Serializing builds caps the transient at one bucket while
+    keeping the staging/prefilter overlap."""
+    import threading
+
+    return db.__dict__.setdefault("_staging_build_lock", threading.Lock())
+
+
 def _build_staged_bucket(db, pb_i):
     """Assemble + upload one profile length-class bucket (see
     get_staged_profiles inside search() for the caching/locking layer).
@@ -829,11 +842,7 @@ def search(
         cache = db.__dict__.setdefault("_device_buckets", {})
         if pb_i in cache:
             return cache[pb_i]
-        import threading
-
-        locks = db.__dict__.setdefault("_device_bucket_locks", {})
-        lock = locks.setdefault(pb_i, threading.Lock())
-        with lock:
+        with _staging_lock(db):
             if pb_i not in cache:
                 cache[pb_i] = _build_staged_bucket(db, pb_i)
         return cache[pb_i]
@@ -848,11 +857,7 @@ def search(
         n_db = mesh.shape.get("db", 1)
         cache = db.__dict__.setdefault("_device_bucket_shards", {})
         key = (pb_i, n_db)
-        import threading
-
-        locks = db.__dict__.setdefault("_device_bucket_locks", {})
-        lock = locks.setdefault(("shard", key), threading.Lock())
-        with lock:
+        with _staging_lock(db):
             if key not in cache:
                 cache[key] = _build_shard_bucket(key)
         return cache[key]
