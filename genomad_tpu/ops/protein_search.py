@@ -593,27 +593,33 @@ def _staging_lock(db):
     return db.__dict__.setdefault("_staging_build_lock", threading.Lock())
 
 
-def _build_staged_bucket(db, pb_i):
-    """Assemble + upload one profile length-class bucket (see
-    get_staged_profiles inside search() for the caching/locking layer).
-    Returns (sorted profile ids, device (count, Lp, 21) tensor, device
-    per-row profile lengths)."""
-    Lp = _BOUNDS[pb_i]
-    ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
+def _assemble_bucket(db, ids, Lp, n_rows):
+    """Host-side assembly shared by the single-device and sharded staging
+    paths: the (n_rows, Lp, 21) padded profile tensor (staging dtype; row
+    i holds profile ids[i], padding rows zero) and the per-row profile
+    lengths (pad rows 1 to keep the E-value division finite; their
+    zero-PSSM scores fail every gate)."""
     lens = db.lengths[ids].astype(np.int64)
     rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
     mask = np.arange(Lp)[None, :] < lens[:, None]
-    dtype = _staging_dtype(db)
-    arr = np.zeros((_count_pad(len(ids)), Lp, N_AA + 1), dtype)
+    arr = np.zeros((n_rows, Lp, N_AA + 1), _staging_dtype(db))
     arr[: len(ids), :, :N_AA] = np.where(
         mask[:, :, None],
         _staging_source(db)[np.minimum(rows, db.offsets[-1] - 1)],
         0,
     )
-    # per-row profile lengths (pad rows 1 to keep the E-value division
-    # finite; their zero-PSSM scores fail every gate)
-    plen = np.ones(arr.shape[0], np.float32)
+    plen = np.ones(n_rows, np.float32)
     plen[: len(ids)] = lens
+    return arr, plen
+
+
+def _build_staged_bucket(db, pb_i):
+    """Assemble + upload one profile length-class bucket (see
+    get_staged_profiles inside search() for the caching/locking layer).
+    Returns (sorted profile ids, device (count, Lp, 21) tensor, device
+    per-row profile lengths)."""
+    ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
+    arr, plen = _assemble_bucket(db, ids, _BOUNDS[pb_i], _count_pad(len(ids)))
     return ids, jnp.asarray(arr), jnp.asarray(plen)
 
 
@@ -827,10 +833,12 @@ def search(
         pad/unknown column appended. Cached on the DB object: the profile
         database uploads to HBM once per process, not once per search —
         this is the device-resident replacement for MMseqs2's target-DB
-        memory-mapping (genomad/mmseqs2.py:83-95). Thread-safe (a
-        per-bucket lock serializes builders): the cold-start path stages
-        buckets from a background thread OVERLAPPED with the host
-        prefilter (see _prestage below).
+        memory-mapping (genomad/mmseqs2.py:83-95). Thread-safe — ONE
+        staging lock per DB serializes builders (see _staging_lock: the
+        transient build peak must stay one bucket), with an unlocked
+        cache-hit fast path; the cold-start path stages buckets from a
+        background thread OVERLAPPED with the host prefilter
+        (see _prestage below).
 
         Large databases stage in bfloat16 ONLY when the PSSM is integral
         (db.pssm_i8 is not None): real geNomad/MMseqs2 profile scores are
@@ -851,12 +859,14 @@ def search(
         """(ids, per-device row count, profile tensor sharded over 'db',
         profile lengths sharded over 'db') for one profile length class.
         Rows [d * p_loc, (d+1) * p_loc) live on db-shard d (replicated over
-        'data'); padding rows have zero PSSMs and length 1."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
+        'data'); padding rows have zero PSSMs and length 1. Same locking
+        discipline as get_staged_profiles (unlocked cache hit, per-DB
+        build lock)."""
         n_db = mesh.shape.get("db", 1)
         cache = db.__dict__.setdefault("_device_bucket_shards", {})
         key = (pb_i, n_db)
+        if key in cache:
+            return cache[key]
         with _staging_lock(db):
             if key not in cache:
                 cache[key] = _build_shard_bucket(key)
@@ -868,22 +878,10 @@ def search(
         from genomad_tpu.parallel.mesh import put_global
 
         pb_i, n_db = key
-        Lp = _BOUNDS[pb_i]
         ids = np.where(_bucket_bound(db.lengths) == pb_i)[0]
         per_shard = -(-len(ids) // n_db)
         p_loc = _pow2(per_shard, floor=8) if per_shard <= 4096 else _count_pad(per_shard)
-        dtype = _staging_dtype(db)
-        arr = np.zeros((n_db * p_loc, Lp, N_AA + 1), dtype)
-        lens = db.lengths[ids].astype(np.int64)
-        rows = db.offsets[ids][:, None] + np.arange(Lp)[None, :]
-        mask = np.arange(Lp)[None, :] < lens[:, None]
-        arr[: len(ids), :, :N_AA] = np.where(
-            mask[:, :, None],
-            _staging_source(db)[np.minimum(rows, db.offsets[-1] - 1)],
-            0,
-        )
-        plen = np.ones(arr.shape[0], np.float32)
-        plen[: len(ids)] = lens
+        arr, plen = _assemble_bucket(db, ids, _BOUNDS[pb_i], n_db * p_loc)
         sh = NamedSharding(mesh, P("db"))
         return (ids, p_loc, put_global(arr, sh), put_global(plen, sh))
 
@@ -963,8 +961,9 @@ def search(
     # Bucket assembly + tunnel upload is the dominant un-cacheable cold
     # cost at 227k scale (~60-90 s); lazily staging it inside the first
     # alignment call serialized it AFTER the first prefilter group. The
-    # staging helpers are idempotent and per-bucket locked, so the main
-    # path simply joins whichever bucket it needs first.
+    # staging helpers are idempotent and share ONE per-DB build lock
+    # (_staging_lock — the transient peak stays one bucket), so the main
+    # path simply waits on whichever bucket it needs first.
     if not all_pairs and db.n_profiles > 4096 and jax.process_count() == 1:
         # (single-process only: on a pod, a background thread issuing
         # put_global concurrently with the main thread could order
@@ -976,6 +975,8 @@ def search(
         def _prestage():
             try:
                 for pb_i in classes:
+                    if search_done[0]:
+                        return  # the search finished; stop staging
                     if sharded:
                         get_staged_shards(int(pb_i))
                     else:
@@ -999,6 +1000,10 @@ def search(
         np.arange(s, min(s + group_size, nq), dtype=np.int64)
         for s in range(0, nq, group_size)
     ]
+    # checked by the prestage thread between bucket builds: a search that
+    # finishes (or returns early) stops background staging after the
+    # in-flight bucket instead of staging the whole DB for nothing
+    search_done = [False]
     if profile_major is None:
         import os
 
@@ -1006,7 +1011,8 @@ def search(
             os.environ.get("GENOMAD_PROFILE_MAJOR_MIN", "8192")
         )
     if profile_major and not all_pairs:
-        return _run_profile_major(
+        try:
+            return _run_profile_major(
             groups,
             prefilter_group,
             full_stats_fn if sharded else fwd_fn,
@@ -1023,9 +1029,11 @@ def search(
             kk=kk,
             query_names=query_names,
             drop_total=drop_total,
-            out_bound=out_bound,
-            _details=_details,
-        )
+                out_bound=out_bound,
+                _details=_details,
+            )
+        finally:
+            search_done[0] = True
     if len(groups) <= 1 or all_pairs:
         for g in groups:
             run_stage2(g, prefilter_group(g))
@@ -1049,6 +1057,7 @@ def search(
         )
 
     # ---- finalize: stop rule -> coverage pass -> best hit ----
+    search_done[0] = True  # stops further background staging
     if not rec_q:
         return {}
     genes = np.concatenate(rec_q)
@@ -1162,8 +1171,10 @@ def _run_profile_major(
         for li, qi in enumerate(g):
             ids, scores = cg[li]
             if len(ids):
-                cand_g.append(np.full(len(ids), qi, np.int64))
-                cand_p.append(np.asarray(ids, np.int64))
+                # lean i32/f32 records: this table is the mode's dominant
+                # host-RAM cost at metagenome scale (~12 B/pair)
+                cand_g.append(np.full(len(ids), qi, np.int32))
+                cand_p.append(np.asarray(ids, np.int32))
                 cand_f.append(np.asarray(scores, np.float32))
     if drop_total[0]:
         import warnings
