@@ -272,3 +272,22 @@ def test_gate_evalue_uses_profile_length_and_query_set_size():
     )
     # n grew ~101x, so the pair's gate E rose ~101x past thr -> rejected
     assert "g_1" not in both
+
+
+def test_sharded_engine_matches_oracle():
+    """Close the transitive-equality gap directly: the (data x db)-mesh
+    production path must match the sequential profile-as-query oracle
+    (not just the host path, which is tested against both separately)."""
+    from genomad_tpu.parallel import mesh as meshlib
+
+    db, names, seqs, res_list = _make_db_and_queries()
+    want, _ = oracle_chain(db, res_list, 1e-3, 0.2, 280)
+    mesh = meshlib.make_mesh(n_data=2, n_db=4)
+    got = protein_search.search(names, seqs, db, mesh=mesh)
+    want_named = {names[qi]: v for qi, v in want.items()}
+    assert got.keys() == want_named.keys()
+    for q in want_named:
+        wt, we, wb, wx = want_named[q]
+        gt, ge, gb, gx = got[q]
+        assert (gt, gb, gx) == (wt, wb, wx), f"{q}: {got[q]} != {want_named[q]}"
+        np.testing.assert_allclose(ge, we, rtol=1e-12)
