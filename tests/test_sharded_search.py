@@ -171,3 +171,20 @@ def test_production_search_sharded_matches_host_loop():
     mesh = meshlib.make_mesh(n_data=2, n_db=4)
     device = protein_search.search(names, seqs, db, mesh=mesh)
     assert_hits_equivalent(device, host_loop)
+
+
+def test_profile_major_on_mesh_matches_streaming(monkeypatch):
+    """Profile-major scheduling over the (data x db) mesh (its stats_fn is
+    the sharded all-in-one program, incl. the precomputed coverage column)
+    must equal the streaming mesh path and the host path."""
+    from genomad_tpu.ops import protein_search
+
+    monkeypatch.setattr(protein_search, "_PM_ROUND", 8)
+    db = ProfileDB.synthetic(seed=37, n_profiles=300, min_len=40, max_len=120)
+    names, seqs = _make_queries(db, 24, seed=8)
+    mesh = meshlib.make_mesh(n_data=2, n_db=4)
+    stream = protein_search.search(names, seqs, db, mesh=mesh, profile_major=False)
+    pmajor = protein_search.search(names, seqs, db, mesh=mesh, profile_major=True)
+    assert stream == pmajor
+    host = protein_search.search(names, seqs, db, profile_major=True)
+    assert_hits_equivalent(pmajor, host)
