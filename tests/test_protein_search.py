@@ -345,3 +345,33 @@ def test_prestage_thread_path_large_db():
     for qi, t in enumerate((7, 1033, 4100)):
         assert hits[f"g_{qi}"][0] == str(db.names[t])
     assert db.__dict__.get("_device_buckets"), "prestage cache empty"
+
+
+def test_long_profile_and_query_buckets():
+    """Profiles/queries in the 768/1024 length classes: bucket staging,
+    the capped chunk sizes, and the pad-clamp see real traffic (every
+    other fixture stays under 400 residues; the 4096 class was measured
+    once and dropped from CI — its compile alone costs minutes on the
+    CPU backend)."""
+    rng = np.random.default_rng(31)
+    names, pssms = [], []
+    for i, L in enumerate([80, 300, 600, 700, 900] * 3):
+        cons = rng.integers(0, N_AA, L)
+        pssm = np.full((L, N_AA), -2.0, np.float32)
+        pssm[np.arange(L), cons] = 6.0
+        names.append(f"p{i}")
+        pssms.append(pssm)
+    db = ProfileDB.from_profiles(names, pssms)
+    # all-pairs mode (small DB): every length class aligns
+    targets = [2, 3, 4]  # the 600/700/900-length profiles
+    qnames, qseqs = [], []
+    for qi, t in enumerate(targets):
+        cons = db.profile(t).argmax(1)
+        seq = cons.copy()
+        pos = rng.choice(len(seq), len(seq) // 10, replace=False)
+        seq[pos] = rng.integers(0, N_AA, len(pos))
+        qnames.append(f"g_{qi}")
+        qseqs.append("".join(ALPHABET[r] for r in seq))
+    hits = protein_search.search(qnames, qseqs, db)
+    for qi, t in enumerate(targets):
+        assert hits[f"g_{qi}"][0] == f"p{t}", (qi, hits.get(f"g_{qi}"))
